@@ -1,0 +1,170 @@
+"""GF(2^128) algebra: doubling, halving, and the two multiply conventions.
+
+The reference implements four scalar bit-serial routines
+(micro_aes.c:434-528): `doubleBblock`/`doubleLblock` (big/little-endian
+doubling), `mulGF128` (GHASH convention) and `dotGF128` (POLYVAL
+convention).  Here every routine is vectorized over a batch axis, and —
+the key TPU-first idea — a multiplication by a *fixed* operand H is a
+GF(2)-linear map of the 128 input bits, so we materialize it once per key
+as a 128×128 bit-matrix `M_H` by probing the bit-serial oracle with unit
+vectors.  Applying the map is then an integer matmul + parity, which rides
+the MXU; H^k chains become matrix powers (see ops/mac.py for the
+powers-of-H parallel tag reduction).
+
+Bit order convention: bit index 8*i + j of a block is (byte_i >> (7-j)) & 1
+(big-endian within bytes).  All conversions go through blocks_to_bits /
+bits_to_blocks, so the convention is internally consistent by construction.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIT_SHIFTS = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # MSB first
+
+
+def blocks_to_bits(blocks: jax.Array) -> jax.Array:
+    """uint8[..., 16] -> uint8[..., 128] of 0/1 bits, MSB-first per byte."""
+    b = (blocks[..., :, None] >> _BIT_SHIFTS) & 1
+    return b.reshape(blocks.shape[:-1] + (128,))
+
+
+def bits_to_blocks(bits: jax.Array) -> jax.Array:
+    """uint8[..., 128] of 0/1 -> uint8[..., 16]."""
+    b = bits.reshape(bits.shape[:-1] + (16, 8)).astype(jnp.uint8)
+    return jnp.sum(b << _BIT_SHIFTS, axis=-1).astype(jnp.uint8)
+
+
+def double_be(x: jax.Array) -> jax.Array:
+    """Big-endian GF(2^128) doubling (micro_aes.c:434-443): the 128-bit BE
+    number shifts left one bit; on carry, last byte ^= 0x87."""
+    carry_in = jnp.concatenate(
+        [x[..., 1:] >> 7, jnp.zeros_like(x[..., :1])], axis=-1
+    )
+    y = ((x << 1) & 0xFF).astype(jnp.uint8) | carry_in.astype(jnp.uint8)
+    msb_out = (x[..., 0] >> 7).astype(jnp.uint8)
+    return y.at[..., 15].set(y[..., 15] ^ msb_out * 0x87)
+
+
+def double_le(x: jax.Array) -> jax.Array:
+    """Little-endian doubling (micro_aes.c:449-458); used by XTS and EAX'."""
+    carry_in = jnp.concatenate(
+        [jnp.zeros_like(x[..., :1]), x[..., :-1] >> 7], axis=-1
+    )
+    y = ((x << 1) & 0xFF).astype(jnp.uint8) | carry_in.astype(jnp.uint8)
+    msb_out = (x[..., 15] >> 7).astype(jnp.uint8)
+    return y.at[..., 0].set(y[..., 0] ^ msb_out * 0x87)
+
+
+def halve_be(x: jax.Array) -> jax.Array:
+    """divideBblock (micro_aes.c:464-473): BE shift right; if the dropped
+    LSB was set, first byte ^= 0xE1."""
+    carry_in = jnp.concatenate(
+        [jnp.zeros_like(x[..., :1]), (x[..., :-1] & 1) << 7], axis=-1
+    )
+    y = (x >> 1).astype(jnp.uint8) | carry_in.astype(jnp.uint8)
+    lsb_out = (x[..., 15] & 1).astype(jnp.uint8)
+    return y.at[..., 0].set(y[..., 0] ^ lsb_out * 0xE1)
+
+
+def halve_le(x: jax.Array) -> jax.Array:
+    """divideLblock (micro_aes.c:499-507): reversed-byte variant."""
+    carry_in = jnp.concatenate(
+        [(x[..., 1:] & 1) << 7, jnp.zeros_like(x[..., :1])], axis=-1
+    )
+    y = (x >> 1).astype(jnp.uint8) | carry_in.astype(jnp.uint8)
+    lsb_out = (x[..., 0] & 1).astype(jnp.uint8)
+    return y.at[..., 15].set(y[..., 15] ^ lsb_out * 0xE1)
+
+
+def mul_gf128(x: jax.Array, y: jax.Array) -> jax.Array:
+    """GHASH-convention product (micro_aes.c:476-493), batched over leading
+    axes of `y`; `x` is a single block [16]. Bit-serial: 128 steps."""
+    xbits = blocks_to_bits(x)  # [128]
+
+    def step(i, carry):
+        acc, yy = carry
+        bit = xbits[i]
+        acc = acc ^ (yy * bit)
+        return acc, halve_be(yy)
+
+    acc0 = jnp.zeros_like(y)
+    acc, _ = jax.lax.fori_loop(0, 128, lambda i, c: step(i, c), (acc0, y))
+    return acc
+
+
+def dot_gf128(x: jax.Array, y: jax.Array) -> jax.Array:
+    """POLYVAL-convention product (micro_aes.c:511-527); batched over `y`.
+
+    Iterates bits of x from byte 15 downward, halving before the
+    conditional add — mirrored order relative to mul_gf128."""
+    xb = blocks_to_bits(x).reshape(16, 8)[::-1].reshape(128)  # byte 15 first
+
+    def step(i, carry):
+        acc, yy = carry
+        yy = halve_le(yy)
+        acc = acc ^ (yy * xb[i])
+        return acc, yy
+
+    acc0 = jnp.zeros_like(y)
+    acc, _ = jax.lax.fori_loop(0, 128, lambda i, c: step(i, c), (acc0, y))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Fixed-operand multiplication as a GF(2) bit-matrix (the MXU-friendly form)
+# ---------------------------------------------------------------------------
+
+def _probe_linear_map(apply_fn, h_block: jax.Array) -> jax.Array:
+    """Build the 128×128 GF(2) matrix of y -> apply_fn(h, y) by feeding the
+    128 unit bit-vectors through the bit-serial oracle.  Column j of the
+    result is apply_fn(h, e_j) so that  bits(out) = M @ bits(in)  (mod 2)."""
+    eye = jnp.eye(128, dtype=jnp.uint8)
+    unit_blocks = bits_to_blocks(eye)  # [128, 16]
+    cols = apply_fn(h_block, unit_blocks)  # [128, 16]
+    return blocks_to_bits(cols).T.astype(jnp.uint8)  # [128 out, 128 in]
+
+
+def ghash_matrix(h_block: jax.Array) -> jax.Array:
+    """M such that bits(mulGF128(H, y)) = M @ bits(y) mod 2."""
+    return _probe_linear_map(mul_gf128, h_block)
+
+
+def polyval_matrix(h_block: jax.Array) -> jax.Array:
+    """M such that bits(dotGF128(H, y)) = M @ bits(y) mod 2."""
+    return _probe_linear_map(dot_gf128, h_block)
+
+
+def mat_apply_bits(m: jax.Array, bits: jax.Array) -> jax.Array:
+    """Apply a GF(2) matrix to bit vectors: [..., 128] @ M^T mod 2.
+
+    Integer matmul keeps exact sums (≤ 128) then reduces mod 2; on TPU this
+    lowers onto the MXU."""
+    acc = jax.lax.dot_general(
+        bits.astype(jnp.int32),
+        m.astype(jnp.int32),
+        dimension_numbers=(((bits.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc & 1).astype(jnp.uint8)
+
+
+def mat_mul_gf2(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(A @ B) mod 2 for GF(2) matrices — used for powers of M_H."""
+    acc = jnp.dot(a.astype(jnp.int32), b.astype(jnp.int32),
+                  preferred_element_type=jnp.int32)
+    return (acc & 1).astype(jnp.uint8)
+
+
+def mat_power_gf2(m: jax.Array, k: int) -> jax.Array:
+    """M^k over GF(2) by square-and-multiply (k static)."""
+    result = jnp.eye(128, dtype=jnp.uint8)
+    base = m
+    while k:
+        if k & 1:
+            result = mat_mul_gf2(result, base)
+        k >>= 1
+        if k:
+            base = mat_mul_gf2(base, base)
+    return result

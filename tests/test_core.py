@@ -1,0 +1,64 @@
+"""Core Rijndael correctness: FIPS-197 appendix C vectors + round-trips."""
+import numpy as np
+import jax.numpy as jnp
+
+from micro_aes_tpu.core import (
+    aes_cipher,
+    decrypt_blocks,
+    encrypt_blocks,
+    expand_key,
+)
+from micro_aes_tpu.testing import kat
+from micro_aes_tpu.utils.bytesio import from_blocks, to_blocks
+
+
+def _enc1(key: bytes, pt: bytes) -> bytes:
+    rk = jnp.asarray(expand_key(key))
+    return from_blocks(encrypt_blocks(rk, jnp.asarray(to_blocks(pt))), 16)
+
+
+def _dec1(key: bytes, ct: bytes) -> bytes:
+    rk = jnp.asarray(expand_key(key))
+    return from_blocks(decrypt_blocks(rk, jnp.asarray(to_blocks(ct))), 16)
+
+
+def test_fips197_known_answers():
+    assert _enc1(kat.FIPS_KEY128, kat.FIPS_PT) == kat.FIPS_CT128
+    assert _enc1(kat.FIPS_KEY192, kat.FIPS_PT) == kat.FIPS_CT192
+    assert _enc1(kat.FIPS_KEY256, kat.FIPS_PT) == kat.FIPS_CT256
+
+
+def test_fips197_decrypt():
+    assert _dec1(kat.FIPS_KEY128, kat.FIPS_CT128) == kat.FIPS_PT
+    assert _dec1(kat.FIPS_KEY192, kat.FIPS_CT192) == kat.FIPS_PT
+    assert _dec1(kat.FIPS_KEY256, kat.FIPS_CT256) == kat.FIPS_PT
+
+
+def test_batch_roundtrip_all_keysizes():
+    rng = np.random.default_rng(0)
+    blocks = rng.integers(0, 256, size=(257, 16), dtype=np.uint8)
+    for klen in (16, 24, 32):
+        key = bytes(rng.integers(0, 256, size=klen, dtype=np.uint8))
+        rk = jnp.asarray(expand_key(key))
+        ct = encrypt_blocks(rk, jnp.asarray(blocks))
+        pt = decrypt_blocks(rk, ct)
+        np.testing.assert_array_equal(np.asarray(pt), blocks)
+        # batch results match block-at-a-time results
+        one = encrypt_blocks(rk, jnp.asarray(blocks[7:8]))
+        np.testing.assert_array_equal(np.asarray(ct)[7], np.asarray(one)[0])
+
+
+def test_raw_cipher_api():
+    # parity with AES_Cipher (micro_aes.c:343-347)
+    assert aes_cipher(kat.FIPS_KEY128, "E", kat.FIPS_PT) == kat.FIPS_CT128
+    assert aes_cipher(kat.FIPS_KEY128, "D", kat.FIPS_CT128) == kat.FIPS_PT
+
+
+def test_key_schedule_shapes():
+    assert expand_key(b"\0" * 16).shape == (11, 16)
+    assert expand_key(b"\0" * 24).shape == (13, 16)
+    assert expand_key(b"\0" * 32).shape == (15, 16)
+    # First round key is the key itself (micro_aes.c:147)
+    np.testing.assert_array_equal(
+        expand_key(kat.FIPS_KEY128)[0], np.frombuffer(kat.FIPS_KEY128, np.uint8)
+    )
