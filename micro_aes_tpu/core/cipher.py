@@ -30,8 +30,12 @@ SHIFT_PERM = np.array(
 )
 INV_SHIFT_PERM = np.argsort(SHIFT_PERM).astype(np.int32)
 
-_SBOX_J = jnp.asarray(SBOX)
-_INV_SBOX_J = jnp.asarray(INV_SBOX)
+# NOTE: keep lookup tables as *numpy* constants.  A module-level device
+# array would be fetched from the accelerator during every jit lowering
+# (pathologically slow over a remote-device tunnel); numpy constants are
+# embedded into the HLO directly at trace time.
+_SBOX_J = SBOX
+_INV_SBOX_J = INV_SBOX
 
 
 def _xtime(x: jax.Array) -> jax.Array:
@@ -64,7 +68,7 @@ def encrypt_blocks(round_keys: jax.Array, blocks: jax.Array) -> jax.Array:
     rounds = round_keys.shape[0] - 1
     s = blocks ^ round_keys[0]
     for r in range(1, rounds + 1):
-        s = _SBOX_J[s]
+        s = jnp.take(_SBOX_J, s)
         s = s[..., SHIFT_PERM]
         if r != rounds:
             shape = s.shape
@@ -79,7 +83,7 @@ def decrypt_blocks(round_keys: jax.Array, blocks: jax.Array) -> jax.Array:
     s = blocks ^ round_keys[rounds]
     for r in range(rounds - 1, -1, -1):
         s = s[..., INV_SHIFT_PERM]
-        s = _INV_SBOX_J[s]
+        s = jnp.take(_INV_SBOX_J, s)
         s = s ^ round_keys[r]
         if r != 0:
             shape = s.shape

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BIT_SHIFTS = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # MSB first
+# numpy constant (not a device array): embedded at lowering, never fetched.
+_BIT_SHIFTS = np.arange(7, -1, -1, dtype=np.uint8)  # MSB first
 
 
 def blocks_to_bits(blocks: jax.Array) -> jax.Array:

@@ -1,0 +1,128 @@
+"""MAC fold engines: CBC-MAC (xMac/cMac) and GHASH/POLYVAL.
+
+The reference folds serially through function pointers (xMac,
+micro_aes.c:551-571; cMac c:576-590; gHash c:1127-1137).  Here:
+
+  * `cbcmac_fold` — the loop-carried cipher fold as one `lax.scan` (one
+    device call per message, still serial by nature);
+  * `ghash_fold` — serial Horner fold where each step is a GF(2) bit
+    matvec with the precomputed M_H (ops/gf128.ghash_matrix);
+  * `ghash_fold_parallel` — the TPU-first reformulation: the Horner chain
+      G_n = Σ_i M^{n-i+1} b_i
+    becomes one batched matmul against precomputed powers [M^K..M^1] per
+    K-block chunk plus a short scan over chunks — MXU work instead of a
+    128-step serial chain per block.
+
+All folds are masked (`nvalid` may be traced) so callers can bucket
+shapes under jit without changing results.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.cipher import encrypt_blocks
+from .gf128 import bits_to_blocks, blocks_to_bits, mat_apply_bits, mat_mul_gf2
+
+
+@functools.partial(jax.jit, static_argnames=())
+def cbcmac_fold(round_keys, init, blocks, nvalid):
+    """M_{i+1} = Enc(M_i ^ x_i) over blocks[:nvalid]; init/result uint8[16]."""
+    idx = jnp.arange(blocks.shape[0])
+
+    def step(m, xi):
+        x, i = xi
+        m2 = encrypt_blocks(round_keys, (m ^ x)[None, :])[0]
+        return jnp.where(i < nvalid, m2, m), None
+
+    out, _ = jax.lax.scan(step, init, (blocks, idx))
+    return out
+
+
+@jax.jit
+def ghash_fold(m_h, init, blocks, nvalid):
+    """G_{i+1} = M_H @ (G_i ^ b_i) over blocks[:nvalid] (GHASH or POLYVAL,
+    depending on which matrix is passed).  All in bit-vector space."""
+    g0 = blocks_to_bits(init)
+    bbits = blocks_to_bits(blocks)
+    idx = jnp.arange(blocks.shape[0])
+
+    def step(g, xi):
+        b, i = xi
+        g2 = mat_apply_bits(m_h, g ^ b)
+        return jnp.where(i < nvalid, g2, g), None
+
+    g, _ = jax.lax.scan(step, g0, (bbits, idx))
+    return bits_to_blocks(g)
+
+
+def matrix_powers(m_h: jax.Array, k: int) -> jax.Array:
+    """[M^k, M^(k-1), ..., M^1] as uint8[k, 128, 128] (host-cached per key)."""
+    mats = [m_h]
+    for _ in range(k - 1):
+        mats.append(mat_mul_gf2(m_h, mats[-1]))
+    return jnp.stack(mats[::-1])  # index j holds M^(k-j)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def ghash_fold_parallel(powers, init, blocks, nvalid, chunk: int = 32):
+    """Powers-of-H GHASH: process `chunk` blocks per step with one batched
+    GF(2) matmul (MXU), then advance the accumulator by M^chunk.
+
+    powers = matrix_powers(M_H, chunk); powers[0] = M^chunk.
+    Requires blocks.shape[0] % chunk == 0 (pad + mask to arrange this).
+    """
+    n = blocks.shape[0]
+    assert n % chunk == 0
+    m_chunk = powers[0]  # M^chunk
+    bbits = blocks_to_bits(blocks).reshape(n // chunk, chunk, 128)
+    idx = jnp.arange(n).reshape(n // chunk, chunk)
+    g0 = blocks_to_bits(init)
+
+    # Valid-prefix masking: a block i >= nvalid must act as absent.  With
+    # zero blocks the matvec chain still advances the accumulator, so we
+    # restrict to the case where masking happens at chunk granularity:
+    # callers pad nvalid to a multiple of chunk worth of zero blocks only
+    # when those zeros are genuinely part of the padded message (handled
+    # by the serial fold otherwise).  Chunks fully beyond nvalid are
+    # skipped exactly.
+    def step(g, xi):
+        b, i = xi  # b: [chunk, 128]
+        x = b.at[0].set(b[0] ^ g)
+        # sum_j M^(chunk-j) x_j  ==  einsum over the stacked powers
+        acc = jax.lax.dot_general(
+            x.astype(jnp.int32),
+            powers.astype(jnp.int32),
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # [chunk, 128]
+        g2 = (jnp.sum(acc, axis=0) & 1).astype(jnp.uint8)
+        return jnp.where(i[0] < nvalid, g2, g), None
+
+    g, _ = jax.lax.scan(step, g0, (bbits, idx))
+    return bits_to_blocks(g)
+
+
+# ---------------------------------------------------------------------------
+# Host-side numpy GF doubling (for CMAC/OCB/XTS subkey derivation)
+# ---------------------------------------------------------------------------
+
+def double_be_np(x: np.ndarray) -> np.ndarray:
+    """numpy doubleBblock (micro_aes.c:434-443)."""
+    x = np.asarray(x, dtype=np.uint8)
+    y = ((x << 1) & 0xFF).astype(np.uint8)
+    y[..., :-1] |= x[..., 1:] >> 7
+    y[..., 15] ^= (x[..., 0] >> 7) * 0x87
+    return y
+
+
+def double_le_np(x: np.ndarray) -> np.ndarray:
+    """numpy doubleLblock (micro_aes.c:449-458)."""
+    x = np.asarray(x, dtype=np.uint8)
+    y = ((x << 1) & 0xFF).astype(np.uint8)
+    y[..., 1:] |= x[..., :-1] >> 7
+    y[..., 0] ^= (x[..., 15] >> 7) * 0x87
+    return y
