@@ -1,0 +1,51 @@
+"""Poly1305-AES MAC (Bernstein 2005) — parity with micro_aes.c:1901-1996.
+
+The reference does schoolbook 17-byte-limb arithmetic; chunks are
+processed back-to-front with rising powers of r (c:1976-1986), i.e.
+
+    poly = sum_j chunk_j * r^(q+1-j)  mod 2^130-5,   tag = poly + AES_k(nonce) mod 2^128.
+
+Host arithmetic uses Python ints (exact); AES_k(nonce) runs on device.
+The powers-of-r form is the same parallel structure used for the sharded
+bulk path (each shard computes a partial sum, combined with one psum).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .common import BLOCK, enc_block, to_u8
+
+P1305 = (1 << 130) - 5
+
+
+def _clamp_r(r: bytes) -> int:
+    """r-clamping (micro_aes.c:1969-1974)."""
+    b = bytearray(r[:16])
+    for i in (3, 7, 11, 15):
+        b[i] &= 0x0F
+    for i in (4, 8, 12):
+        b[i] &= 0xFC
+    return int.from_bytes(bytes(b), "little")
+
+
+def poly1305_aes(keys, nonce, data) -> bytes:
+    """AES_Poly1305 (micro_aes.c:1956-1996).
+    keys = AES key (16/24/32 B) || r (16 B); nonce is one block."""
+    keys = bytes(keys)
+    klen = len(keys) - 16
+    aes_key, r_bytes = keys[:klen], keys[klen:]
+    nonce = to_u8(nonce)[:BLOCK]
+    data = bytes(to_u8(data))
+
+    s = int.from_bytes(bytes(enc_block(aes_key, nonce)), "little")
+    if not data:
+        return int.to_bytes(s, 16, "little")
+
+    r = _clamp_r(r_bytes)
+    q = (len(data) - 1) // BLOCK  # chunks - 1
+    poly = 0
+    for j in range(q + 1):  # chunk j gets r^(q+1-j)
+        chunk = data[j * BLOCK: (j + 1) * BLOCK]
+        c = int.from_bytes(chunk + b"\x01", "little")
+        poly = (poly + c * pow(r, q + 1 - j, P1305)) % P1305
+    return int.to_bytes((poly + s) % (1 << 128), 16, "little")
