@@ -1,0 +1,169 @@
+"""Batched multi-message engines: many independent (key, nonce, message)
+tuples in one device dispatch.
+
+This is both the conformance-suite workhorse (CAVP files carry thousands
+of single-use keys, so per-key precomputation can't amortize — instead the
+whole file becomes a handful of batched device calls) and the multi-stream
+serving path (parallel/ shards the batch axis over the mesh).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.cipher import encrypt_blocks, decrypt_blocks
+from ..core.keyschedule import expand_key
+from ..ops.counter import counter_blocks
+from ..ops.mac import cbcmac_fold_batch, ghash_fold_batch
+from ..utils.bytesio import BLOCK
+from .common import to_u8
+
+_enc_vmap = jax.jit(jax.vmap(encrypt_blocks))
+_dec_vmap = jax.jit(jax.vmap(decrypt_blocks))
+
+
+def stack_round_keys(keys: list[bytes]) -> np.ndarray:
+    return np.stack([expand_key(k) for k in keys])
+
+
+def _pad_blocks_batch(datas: list[np.ndarray], nblocks: int) -> np.ndarray:
+    out = np.zeros((len(datas), nblocks, BLOCK), np.uint8)
+    for i, d in enumerate(datas):
+        out[i].reshape(-1)[: len(d)] = d
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("nblocks",))
+def _ctr_keystream_batch(rks, bases, nblocks: int):
+    ctrs = jax.vmap(lambda b: counter_blocks(b, nblocks, 1, "be"))(bases)
+    return jax.vmap(encrypt_blocks)(rks, ctrs)
+
+
+def gcm_encrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
+                      pts: list[bytes], tag_len: int = 16) -> list[bytes]:
+    """AES-GCM over B independent messages; a fixed number of batched
+    device dispatches regardless of B.  Returns [ct || tag] per message."""
+    B = len(keys)
+    rks = jnp.asarray(stack_round_keys(keys))
+    aads = [to_u8(a) for a in aads]
+    pts = [to_u8(p) for p in pts]
+    nonces = [to_u8(n) for n in nonces]
+
+    # H = E_K(0) for every key
+    h = np.asarray(_enc_vmap(rks, jnp.zeros((B, 1, BLOCK), jnp.uint8)))[:, 0]
+
+    # J0: 12-byte fast path on host; GHASH path batched for the rest
+    j0 = np.zeros((B, BLOCK), np.uint8)
+    long_idx = [i for i, n in enumerate(nonces) if len(n) != 12]
+    for i, n in enumerate(nonces):
+        if len(n) == 12:
+            j0[i, :12] = n
+            j0[i, 15] = 1
+    if long_idx:
+        miv = max((len(nonces[i]) + BLOCK - 1) // BLOCK for i in long_idx) + 1
+        ivb = np.zeros((len(long_idx), miv, BLOCK), np.uint8)
+        nv = np.zeros(len(long_idx), np.int32)
+        for k, i in enumerate(long_idx):
+            n = nonces[i]
+            nb = (len(n) + BLOCK - 1) // BLOCK
+            ivb[k].reshape(-1)[: len(n)] = n
+            ivb[k, nb, 8:] = np.frombuffer((len(n) * 8).to_bytes(8, "big"), np.uint8)
+            nv[k] = nb + 1
+        g = ghash_fold_batch(
+            jnp.asarray(h[long_idx]),
+            jnp.zeros((len(long_idx), BLOCK), jnp.uint8),
+            jnp.asarray(ivb), jnp.asarray(nv),
+        )
+        j0[long_idx] = np.asarray(g)
+
+    # CTR body (counter = J0 + 1 + i) and E(J0) in one keystream batch:
+    # prepend the J0 block itself so its encryption rides along.
+    npt = max((len(p) for p in pts), default=0)
+    nks = (npt + BLOCK - 1) // BLOCK
+    ctrs = jax.vmap(lambda b: counter_blocks(b, nks + 1, 0, "be"))(jnp.asarray(j0))
+    ks_all = np.asarray(_enc_vmap(rks, ctrs))
+    ek_j0, ks = ks_all[:, 0], ks_all[:, 1:]
+
+    cts = [bytes(p ^ ks[i].reshape(-1)[: len(p)]) for i, p in enumerate(pts)]
+
+    # GHASH(AAD, CT, lens) batched
+    maad = max((len(a) + BLOCK - 1) // BLOCK for a in aads) if aads else 0
+    mct = nks
+    m = maad + mct + 1
+    gb = np.zeros((B, m, BLOCK), np.uint8)
+    nv = np.zeros(B, np.int32)
+    for i in range(B):
+        a, c = aads[i], np.frombuffer(cts[i], np.uint8)
+        na = (len(a) + BLOCK - 1) // BLOCK
+        nc = (len(c) + BLOCK - 1) // BLOCK
+        gb[i, :na].reshape(-1)[: len(a)] = a
+        gb[i, na: na + nc].reshape(-1)[: len(c)] = c
+        gb[i, na + nc, :8] = np.frombuffer((len(a) * 8).to_bytes(8, "big"), np.uint8)
+        gb[i, na + nc, 8:] = np.frombuffer((len(c) * 8).to_bytes(8, "big"), np.uint8)
+        nv[i] = na + nc + 1
+    g = np.asarray(
+        ghash_fold_batch(jnp.asarray(h), jnp.zeros((B, BLOCK), jnp.uint8),
+                         jnp.asarray(gb), jnp.asarray(nv))
+    )
+    tags = ek_j0 ^ g
+    return [cts[i] + bytes(tags[i][:tag_len]) for i in range(B)]
+
+
+def cmac_batch(keys: list[bytes], msgs: list[bytes]) -> list[bytes]:
+    """AES-CMAC over B independent messages in one batched fold."""
+    from ..ops.mac import double_be_np
+
+    B = len(keys)
+    rks = jnp.asarray(stack_round_keys(keys))
+    msgs = [bytes(to_u8(m)) for m in msgs]
+    L = np.asarray(_enc_vmap(rks, jnp.zeros((B, 1, BLOCK), jnp.uint8)))[:, 0]
+    k1 = double_be_np(L)
+    k2 = double_be_np(k1)
+
+    m = max(((len(x) - 1) // BLOCK + 1) if x else 1 for x in msgs)
+    blocks = np.zeros((B, m, BLOCK), np.uint8)
+    nv = np.zeros(B, np.int32)
+    for i, x in enumerate(msgs):
+        n = len(x)
+        s = (n - 1) % BLOCK + 1 if n else 0
+        nb = (n - s) // BLOCK
+        blocks[i, :nb] = np.frombuffer(x[: n - s], np.uint8).reshape(nb, BLOCK)
+        last = np.zeros(BLOCK, np.uint8)
+        last[:s] = np.frombuffer(x[n - s:], np.uint8)
+        if s < BLOCK:
+            last[s] ^= 0x80
+            last ^= k2[i]
+        else:
+            last ^= k1[i]
+        blocks[i, nb] = last
+        nv[i] = nb + 1
+    out = cbcmac_fold_batch(rks, jnp.zeros((B, BLOCK), jnp.uint8),
+                            jnp.asarray(blocks), jnp.asarray(nv))
+    return [bytes(t) for t in np.asarray(out)]
+
+
+def xts_batch(keys: list[bytes], tweaks: list[bytes], datas: list[bytes],
+              encrypt: bool) -> list[bytes]:
+    """Batched XEX over B messages of identical whole-block length."""
+    from ..ops.mac import double_le_np
+
+    B = len(keys)
+    klen = len(keys[0]) // 2
+    rks1 = jnp.asarray(stack_round_keys([k[:klen] for k in keys]))
+    rks2 = jnp.asarray(stack_round_keys([k[klen:] for k in keys]))
+    n = len(datas[0]) // BLOCK
+    t0 = np.asarray(
+        _enc_vmap(rks2, jnp.asarray(np.stack([to_u8(t)[:16] for t in tweaks])[:, None, :]))
+    )[:, 0]
+    tw = np.zeros((B, n, BLOCK), np.uint8)
+    t = t0
+    for i in range(n):
+        tw[:, i] = t
+        t = double_le_np(t)
+    x = np.stack([to_u8(d).reshape(n, BLOCK) for d in datas])
+    fn = _enc_vmap if encrypt else _dec_vmap
+    y = np.asarray(fn(rks1, jnp.asarray(x ^ tw))) ^ tw
+    return [bytes(y[i].reshape(-1)) for i in range(B)]

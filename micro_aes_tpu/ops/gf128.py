@@ -80,13 +80,14 @@ def halve_le(x: jax.Array) -> jax.Array:
 
 
 def mul_gf128(x: jax.Array, y: jax.Array) -> jax.Array:
-    """GHASH-convention product (micro_aes.c:476-493), batched over leading
-    axes of `y`; `x` is a single block [16]. Bit-serial: 128 steps."""
-    xbits = blocks_to_bits(x)  # [128]
+    """GHASH-convention product (micro_aes.c:476-493). Bit-serial, 128
+    steps; `x` may be a single block [16] or batched [..., 16] matching
+    the leading axes of `y`."""
+    xbits = blocks_to_bits(x)  # [..., 128]
 
     def step(i, carry):
         acc, yy = carry
-        bit = xbits[i]
+        bit = jnp.expand_dims(xbits[..., i], -1)
         acc = acc ^ (yy * bit)
         return acc, halve_be(yy)
 
@@ -96,16 +97,19 @@ def mul_gf128(x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 def dot_gf128(x: jax.Array, y: jax.Array) -> jax.Array:
-    """POLYVAL-convention product (micro_aes.c:511-527); batched over `y`.
+    """POLYVAL-convention product (micro_aes.c:511-527); `x` single or
+    batched like mul_gf128.
 
     Iterates bits of x from byte 15 downward, halving before the
     conditional add — mirrored order relative to mul_gf128."""
-    xb = blocks_to_bits(x).reshape(16, 8)[::-1].reshape(128)  # byte 15 first
+    xb = blocks_to_bits(x)
+    xb = xb.reshape(xb.shape[:-1] + (16, 8))[..., ::-1, :]
+    xb = xb.reshape(xb.shape[:-2] + (128,))  # byte 15 first
 
     def step(i, carry):
         acc, yy = carry
         yy = halve_le(yy)
-        acc = acc ^ (yy * xb[i])
+        acc = acc ^ (yy * jnp.expand_dims(xb[..., i], -1))
         return acc, yy
 
     acc0 = jnp.zeros_like(y)

@@ -59,6 +59,45 @@ def ghash_fold(m_h, init, blocks, nvalid):
     return bits_to_blocks(g)
 
 
+@functools.partial(jax.jit, static_argnames=("polyval",))
+def ghash_fold_batch(h, init, blocks, nvalid, polyval: bool = False):
+    """Batched serial GHASH/POLYVAL over many independent messages:
+    h/init uint8[B,16], blocks uint8[B,M,16], nvalid int32[B].
+
+    One scan over the block axis; the 128-step bit-serial multiply is
+    vectorized across the whole batch — this is the conformance-suite
+    workhorse (each CAVP vector has its own key, so per-key matrices
+    don't amortize)."""
+    from .gf128 import dot_gf128, mul_gf128
+
+    mul = dot_gf128 if polyval else mul_gf128
+    idx = jnp.arange(blocks.shape[1])
+
+    def step(acc, xi):
+        b, i = xi  # b: [B, 16]
+        acc2 = mul(h, acc ^ b)
+        return jnp.where((i < nvalid)[:, None], acc2, acc), None
+
+    acc, _ = jax.lax.scan(step, init, (jnp.swapaxes(blocks, 0, 1), idx))
+    return acc
+
+
+@jax.jit
+def cbcmac_fold_batch(rks, init, blocks, nvalid):
+    """Batched CBC-MAC fold: rks uint8[B,R+1,16], init uint8[B,16],
+    blocks uint8[B,M,16], nvalid int32[B]."""
+    idx = jnp.arange(blocks.shape[1])
+    enc1 = jax.vmap(lambda rk, x: encrypt_blocks(rk, x[None, :])[0])
+
+    def step(acc, xi):
+        b, i = xi
+        acc2 = enc1(rks, acc ^ b)
+        return jnp.where((i < nvalid)[:, None], acc2, acc), None
+
+    acc, _ = jax.lax.scan(step, init, (jnp.swapaxes(blocks, 0, 1), idx))
+    return acc
+
+
 def matrix_powers(m_h: jax.Array, k: int) -> jax.Array:
     """[M^k, M^(k-1), ..., M^1] as uint8[k, 128, 128] (host-cached per key)."""
     mats = [m_h]
