@@ -28,7 +28,7 @@ def main():
 
     key = bytes(range(32))
     kp, tables = gcm_key_setup(key)
-    n_blocks = 1 << 19  # 8 MiB per iteration
+    n_blocks = 1 << 21  # 32 MiB per iteration
     reps = 8
 
     j0 = np.zeros(BLOCK, np.uint8)
@@ -43,15 +43,21 @@ def main():
         return gcm_seal_kernel(kp, tables, j0,
                                jax.lax.fori_loop(0, reps - 1, body, pt))
 
-    pt = jnp.zeros((n_blocks, BLOCK), jnp.uint8)
-    ct, tag = loop(kp, tables, jnp.asarray(j0), pt, reps)  # compile + warm
+    pt0 = jnp.zeros((n_blocks, BLOCK), jnp.uint8)
+    ct, tag = loop(kp, tables, jnp.asarray(j0), pt0, reps)  # compile + warm
     tag.block_until_ready()
 
-    t0 = time.time()
-    ct, tag = loop(kp, tables, jnp.asarray(j0), pt, reps)
-    tag.block_until_ready()
-    dt = time.time() - t0
-    value = n_blocks * BLOCK * reps / dt
+    # NOTE: the remote execution layer caches identical (executable, args)
+    # runs, so every timed call must use distinct input data.
+    rates = []
+    for trial in range(3):
+        pt = pt0 + np.uint8(trial + 1)
+        pt.block_until_ready()
+        t0 = time.time()
+        ct, tag = loop(kp, tables, jnp.asarray(j0), pt, reps)
+        tag.block_until_ready()
+        rates.append(n_blocks * BLOCK * reps / (time.time() - t0))
+    value = sorted(rates)[len(rates) // 2]  # median
 
     # correctness guard: one small seal must match the conformance path
     small = bytes(range(256)) * 64  # 16 KiB

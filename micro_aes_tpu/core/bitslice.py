@@ -326,6 +326,72 @@ def unpack_planes(planes: jax.Array, n: int) -> jax.Array:
     return out.reshape(w * 32, 16)[:n]
 
 
+def _transpose32(rows: list) -> list:
+    """32x32 bit-matrix transpose on 32 uint32 vectors (Hacker's-Delight
+    butterfly, 5 stages of masked swaps) — vectorized over the trailing
+    word axis.  out[i] bit j == in[j] bit i."""
+    a = list(rows)
+    j = 16
+    m = np.uint32(0x0000FFFF)
+    while j:
+        k = 0
+        while k < 32:
+            # LSB-first variant: row k's HIGH bits pair with row k+j's LOW
+            t = ((a[k] >> j) ^ a[k + j]) & m
+            a[k] = a[k] ^ (t << j)
+            a[k + j] = a[k + j] ^ t
+            k = (k + j + 1) & ~j
+        j >>= 1
+        m = m ^ (m << np.uint32(j)) if j else m
+    return a
+
+
+def planes_to_words(planes: jax.Array) -> jax.Array:
+    """uint32[8,16,W] planes -> uint32[4,N] little-endian block words
+    (word k of block n = bytes 4k..4k+3), N minor — via 4 butterfly
+    transposes instead of the 32x int expansion."""
+    w = planes.shape[-1]
+    out_rows = []
+    for k in range(4):
+        # bit r of word k of a block = byte (4k + r//8), bit (r%8)
+        rows = [planes[r % 8, 4 * k + r // 8] for r in range(32)]
+        tr = _transpose32(rows)  # tr[j] = word k of blocks (32w+j)
+        out_rows.append(jnp.stack(tr, axis=1).reshape(32 * w))
+    return jnp.stack(out_rows)  # [4, N]
+
+
+def words_to_planes(words: jax.Array) -> jax.Array:
+    """uint32[4,N] block words -> uint32[8,16,W] planes (inverse)."""
+    n = words.shape[-1]
+    w = n // 32
+    planes = [[None] * 16 for _ in range(8)]
+    for k in range(4):
+        rows = [words[k].reshape(w, 32)[:, j] for j in range(32)]
+        tr = _transpose32(rows)  # tr[r] = plane of bit r of word k
+        for r in range(32):
+            planes[r % 8][4 * k + r // 8] = tr[r]
+    return jnp.stack([jnp.stack(p) for p in planes])
+
+
+def blocks_to_words(blocks: jax.Array) -> jax.Array:
+    """uint8[N,16] -> uint32[4,N] little-endian words (one transpose)."""
+    x = blocks.T.astype(jnp.uint32)  # [16, N]
+    return jnp.stack([
+        x[4 * k] | (x[4 * k + 1] << 8) | (x[4 * k + 2] << 16)
+        | (x[4 * k + 3] << 24)
+        for k in range(4)
+    ])
+
+
+def words_to_blocks(words: jax.Array) -> jax.Array:
+    """uint32[4,N] -> uint8[N,16]."""
+    rows = []
+    for k in range(4):
+        for j in range(4):
+            rows.append((words[k] >> (8 * j)).astype(jnp.uint8))
+    return jnp.stack(rows).T  # [N, 16]
+
+
 def key_planes(round_keys: np.ndarray) -> np.ndarray:
     """uint8[R+1,16] -> uint32[R+1,8,16] of 0/0xFFFFFFFF broadcast planes."""
     rk = np.asarray(round_keys, np.uint8)

@@ -1,13 +1,25 @@
 """Fused single-dispatch bulk AES-GCM ("seal") — the throughput engine.
 
-One jit computes counter generation -> bitsliced cipher -> keystream xor
--> two-level MXU GHASH -> tag, entirely on device.  This is the flagship
-step benchmarked by bench.py and sharded by parallel/sharded.py; the
-per-message host path (modes/gcm.py) remains the general/ragged API.
+v2 pipeline, fully bit-plane-resident (no per-block byte shuffles):
 
-Constraints of the bulk path (by design, for speed-of-light shapes):
-12-byte nonce, empty AAD, message length a multiple of the GHASH tile
-(chunk*chunk2 blocks).  bench/serving pad to that granularity.
+  counter planes (direct vector math, ops/counter.counter_planes_be)
+    -> bitsliced cipher (core/bitslice.encrypt_planes)
+    -> xor with plaintext planes (butterfly-packed words)
+    -> int8 bit rows -> two-level MXU GHASH (plane-ordered tables)
+    -> tag.
+
+Key layout facts exploited:
+  * counter values are consecutive, so with a 32-aligned generation start
+    every bit-plane word is either a fixed lane pattern (bits 0..4) or a
+    per-word broadcast (bits >= 5) — the keystream never exists in byte
+    form at all;
+  * a 12-byte-nonce J0 has low word == 1, so the alignment offset is the
+    *static* constant 2 and E(J0) is simply stream position 1;
+  * leading zero blocks are free in GHASH (exponents count from the end),
+    so tile padding always goes in front.
+
+The per-message host path (modes/gcm.py) remains the general/ragged API;
+this kernel requires a 12-byte nonce, empty AAD, and whole-block length.
 """
 from __future__ import annotations
 
@@ -17,40 +29,71 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.bitslice import encrypt_planes, key_planes, pack_planes, unpack_planes
+from ..core.bitslice import (
+    blocks_to_words,
+    key_planes,
+    planes_to_words,
+    words_to_blocks,
+    words_to_planes,
+)
 from ..core.keyschedule import expand_key
-from ..ops.counter import counter_blocks
-from ..ops.gf128 import blocks_to_bits, ghash_matrix
-from ..ops.ghash_bulk import ghash_bulk, ghash_finalize, ghash_power_tables
+from ..ops.counter import counter_planes_be
+from ..ops.pallas_cipher import cipher_planes_auto
+from ..ops.gf128 import ghash_matrix
+from ..ops.ghash_bulk import ghash_finalize, ghash_from_bits, planes_to_bits_i8
+from ..ops.ghash_bulk import ghash_power_tables
 from ..utils.bytesio import BLOCK
 from .common import enc_block
 
 
 @functools.lru_cache(maxsize=64)
 def gcm_key_setup(key: bytes, chunk: int = 32, chunk2: int = 32):
-    """Per-key precompute: bitsliced key planes + GHASH power tables."""
+    """Per-key precompute: bitsliced key planes + plane-ordered GHASH
+    power tables."""
     rk = expand_key(key)
     kp = jnp.asarray(key_planes(rk))
     h = enc_block(key, np.zeros(BLOCK, np.uint8))
     m_h = ghash_matrix(jnp.asarray(h))
-    tables = ghash_power_tables(m_h, chunk, chunk2)
+    tables = ghash_power_tables(m_h, chunk, chunk2, plane_order=(chunk == 32))
     return kp, tables
 
 
+def _len_block(n_blocks: int) -> jax.Array:
+    lb = np.zeros(BLOCK, np.uint8)
+    lb[8:] = np.frombuffer((n_blocks * BLOCK * 8).to_bytes(8, "big"), np.uint8)
+    return jnp.asarray(lb)
+
+
 def gcm_seal_kernel(kp, tables, j0, pt_blocks):
-    """Jittable fused seal: returns (ct_blocks [N,16], tag [16])."""
+    """Jittable fused seal: returns (ct_blocks [N,16], tag [16]).
+    Requires a J0 whose low 32 bits are 1 (12-byte-nonce fast path)."""
     n = pt_blocks.shape[0]
-    nc = ((n + 1 + 31) // 32) * 32  # counters 0..n, padded to 32
-    ctrs = counter_blocks(j0, nc, 0, "be")
-    ks = unpack_planes(encrypt_planes(kp, pack_planes(ctrs)), nc)
-    ek_j0 = ks[0]
-    ct = pt_blocks ^ ks[1: n + 1]
-    acc = ghash_bulk(tables, ct)
-    len_block = jnp.zeros(BLOCK, jnp.uint8)
-    nbits = n * BLOCK * 8
-    for i in range(8):  # BE 64-bit bit-length in bytes 8..15 (static n)
-        len_block = len_block.at[15 - i].set((nbits >> (8 * i)) & 0xFF)
-    tag = ek_j0 ^ ghash_finalize(tables, acc, len_block)
+    chunk2 = tables[1].shape[0] // 128
+    tile = 32 * chunk2
+
+    # keystream stream: position q holds counter value J0 - 1 + q
+    # (32-aligned since J0_lo == 1); data occupies positions 2..n+1 and
+    # position 1 is E(J0).
+    nwords = -(-(n + 2) // 32)
+    nwords += (-nwords) % 4  # keep the lane axis reasonably tiled
+    ctr_planes = counter_planes_be(j0, nwords, -1)
+    ks_planes = cipher_planes_auto(kp, ctr_planes)
+
+    pt_words = blocks_to_words(pt_blocks)  # [4, N]
+    pt_words = jnp.pad(pt_words, ((0, 0), (2, 32 * nwords - n - 2)))
+    ct_planes = words_to_planes(pt_words) ^ ks_planes
+
+    ct_words = planes_to_words(ct_planes)  # [4, 32*nwords]
+    ek_j0 = words_to_blocks(ct_words[:, 1:2])[0]
+    ct = words_to_blocks(ct_words[:, 2: n + 2])
+
+    bits = planes_to_bits_i8(ct_planes)[2: n + 2]  # [N,128] plane order
+    gpad = (-n) % tile
+    if gpad:
+        bits = jnp.concatenate(
+            [jnp.zeros((gpad, 128), jnp.int8), bits], axis=0)
+    acc = ghash_from_bits(tables, bits)
+    tag = ek_j0 ^ ghash_finalize(tables, acc, _len_block(n))
     return ct, tag
 
 
@@ -58,8 +101,8 @@ _gcm_seal_jit = jax.jit(gcm_seal_kernel)
 
 
 def gcm_seal(key, nonce, plaintext) -> bytes:
-    """Bulk seal: ct || 16-byte tag. len(plaintext) must be a multiple of
-    16*chunk*chunk2 bytes (16 KiB with default chunking)."""
+    """Bulk seal: ct || 16-byte tag.  12-byte nonce, no AAD, whole-block
+    plaintext (the general API handles everything else)."""
     key = bytes(key)
     kp, tables = gcm_key_setup(key)
     nonce = np.frombuffer(bytes(nonce), np.uint8)

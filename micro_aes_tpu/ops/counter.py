@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Per-mode setup (ctr_based_modes, micro_aes.c:903-909):
 #   CTR_DEFAULT: use base as-is, count BE from offset 0
@@ -38,6 +39,58 @@ def prepare_counter_base(base: jax.Array, mode: str) -> tuple[jax.Array, int, st
         base = base.at[15].set(base[15] | 0x80)
         return base, 0, "le32"
     raise ValueError(f"unknown counter mode {mode!r}")
+
+
+# Lane patterns of bit k (k < 5) of 32 consecutive aligned integers.
+_LOW_BIT_PATTERNS = np.array(
+    [0xAAAAAAAA, 0xCCCCCCCC, 0xF0F0F0F0, 0xFF00FF00, 0xFFFF0000],
+    dtype=np.uint32,
+)
+
+
+def counter_planes_be(j0: jax.Array, nwords: int, start) -> jax.Array:
+    """Generate BE-counter blocks *directly in bitsliced plane form*:
+    uint32[8, 16, W] where word w covers counter values
+    (ctr56(j0) + start + 32w + j) for lane j = 0..31.
+
+    Requires (ctr56(j0) + start) % 32 == 0 (the seal path arranges this
+    statically), which makes bits 0..4 fixed lane patterns and bits >= 5
+    per-word broadcasts — no cross-lane packing at all.  Reproduces the
+    reference's 56-bit counter window over bytes 9..15 (incBlock,
+    micro_aes.c:421-428)."""
+    b = j0.astype(jnp.uint32)
+    lo0 = (b[12] << 24) | (b[13] << 16) | (b[14] << 8) | b[15]
+    hi0 = (b[9] << 16) | (b[10] << 8) | b[11]
+    # start is a signed 32-bit offset, sign-extended into the 56-bit window
+    s32 = jnp.asarray(start, jnp.int32)
+    sext = (s32 >> 31).astype(jnp.uint32)  # 0 or 0xFFFFFFFF
+    base_lo = lo0 + s32.astype(jnp.uint32)
+    carry0 = (base_lo < lo0).astype(jnp.uint32)
+    w_idx = jnp.arange(nwords, dtype=jnp.uint32) * 32
+    lo = base_lo + w_idx                                  # [W]
+    carry = carry0 + (lo < base_lo).astype(jnp.uint32)
+    hi = (hi0 + sext + carry) & 0xFFFFFF
+
+    ones = jnp.uint32(0xFFFFFFFF)
+    planes = []
+    for bit in range(8):
+        rows = []
+        for pos in range(16):
+            if pos <= 8:  # constant bytes from j0
+                rows.append(jnp.where((j0[pos] >> bit) & 1, ones, 0)
+                            * jnp.ones((nwords,), jnp.uint32))
+            elif pos >= 12:  # lo32: byte 15-(k//8) <- bit k = 8*(15-pos)+bit
+                k = 8 * (15 - pos) + bit
+                if k < 5:
+                    rows.append(jnp.full((nwords,), _LOW_BIT_PATTERNS[k],
+                                         jnp.uint32))
+                else:
+                    rows.append(((lo >> k) & 1) * ones)
+            else:  # bytes 9..11 from hi24: bit k = 8*(11-pos)+bit
+                k = 8 * (11 - pos) + bit
+                rows.append(((hi >> k) & 1) * ones)
+        planes.append(jnp.stack(rows))
+    return jnp.stack(planes)  # [8,16,W]
 
 
 def counter_blocks(base: jax.Array, n: int, offset=0, endian: str = "be") -> jax.Array:

@@ -4,9 +4,9 @@ Layout over a 2D mesh (dp, sp):
   * dp — independent messages (embarrassingly parallel);
   * sp — the block axis *within* each message: every shard generates its
     own counter window from the global block index (no communication),
-    ciphers it, folds a local GHASH partial, applies its per-shard
-    adjustment power M^(L*(S-1-s)), and the tag emerges from ONE xor-psum
-    over sp (GF(2) sum == parity of an integer psum).
+    ciphers it bitsliced, folds a local GHASH partial, applies its
+    per-shard adjustment power M^(L*(S-1-s)), and the tag emerges from
+    ONE xor-psum over sp (GF(2) sum == parity of an integer psum).
 
 Collectives ride the mesh (ICI on real hardware); there is no other
 cross-device traffic — by construction the design scales linearly until
@@ -27,34 +27,55 @@ except ImportError:  # pragma: no cover
 
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.bitslice import encrypt_planes, pack_planes, unpack_planes
-from ..ops.counter import counter_blocks
-from ..ops.gf128 import blocks_to_bits, mat_power_gf2
-from ..ops.ghash_bulk import _gf2_matmul_bf16, ghash_bulk, ghash_finalize
+from ..core.bitslice import (
+    blocks_to_words,
+    planes_to_words,
+    words_to_blocks,
+    words_to_planes,
+)
+from ..ops.counter import counter_planes_be
+from ..ops.pallas_cipher import cipher_planes_auto
+from ..ops.gf128 import mat_power_gf2
+from ..ops.ghash_bulk import (
+    _gf2_matmul_i8,
+    ghash_finalize,
+    ghash_from_bits,
+    planes_to_bits_i8,
+)
 from ..utils.bytesio import BLOCK
 
 
 def shard_adjust_matrices(m_h: jax.Array, blocks_per_shard: int,
                           num_shards: int) -> jax.Array:
-    """adj[s] = (M^(L*(S-1-s)))^T as bf16, for the cross-shard combine."""
+    """adj[s] = (M^(L*(S-1-s)))^T as int8, for the cross-shard combine."""
     m_l = mat_power_gf2(m_h, blocks_per_shard)
     mats = [jnp.eye(128, dtype=jnp.uint8)]
     for _ in range(num_shards - 1):
-        mats.append((mats[-1].astype(jnp.int32) @ m_l.astype(jnp.int32) & 1).astype(jnp.uint8))
-    # mats[k] = M^(L*k); shard s needs exponent S-1-s
-    stack = jnp.stack([jnp.transpose(mats[num_shards - 1 - s]) for s in range(num_shards)])
-    return stack.astype(jnp.bfloat16)
+        mats.append(
+            ((mats[-1].astype(jnp.int32) @ m_l.astype(jnp.int32)) & 1
+             ).astype(jnp.uint8))
+    stack = jnp.stack(
+        [jnp.transpose(mats[num_shards - 1 - s]) for s in range(num_shards)])
+    return stack.astype(jnp.int8)
 
 
-def _local_seal(kp, tables, j0, pt, sp_idx, nblocks_local):
-    """Per-(message, shard) pipeline: counters -> cipher -> xor -> partial."""
+def _local_seal(kp, tables, j0, pt, start, tile):
+    """Per-(message, shard) pipeline in the bit-plane domain."""
     l = pt.shape[0]
-    lc = ((l + 31) // 32) * 32
-    offset = 1 + sp_idx * nblocks_local
-    ctrs = counter_blocks(j0, lc, offset, "be")
-    ks = unpack_planes(encrypt_planes(kp, pack_planes(ctrs)), lc)
-    ct = pt ^ ks[:l]
-    acc = ghash_bulk(tables, ct)  # local Horner partial, bits uint8[128]
+    nwords = -(-(l + 2) // 32)
+    nwords += (-nwords) % 4
+    ctr_planes = counter_planes_be(j0, nwords, start)
+    ks_planes = cipher_planes_auto(kp, ctr_planes)
+    pt_words = blocks_to_words(pt)
+    pt_words = jnp.pad(pt_words, ((0, 0), (2, 32 * nwords - l - 2)))
+    ct_planes = words_to_planes(pt_words) ^ ks_planes
+    ct = words_to_blocks(planes_to_words(ct_planes)[:, 2: l + 2])
+    bits = planes_to_bits_i8(ct_planes)[2: l + 2]
+    gpad = (-l) % tile
+    if gpad:
+        bits = jnp.concatenate(
+            [jnp.zeros((gpad, 128), jnp.int8), bits], axis=0)
+    acc = ghash_from_bits(tables, bits)
     return ct, acc
 
 
@@ -62,18 +83,20 @@ def gcm_seal_sharded_fn(mesh: Mesh, total_blocks: int):
     """Build the jitted sharded seal for a given mesh and message length.
 
     Returns fn(kp, tables, adj, j0[B,16], ek_j0[B,16], pt[B,N,16])
-    -> (ct[B,N,16], tag[B,16])."""
+    -> (ct[B,N,16], tag[B,16]).  J0 low word must be 1 (12-byte nonce)."""
     sp = mesh.shape["sp"]
     assert total_blocks % sp == 0
     l_shard = total_blocks // sp
+    assert l_shard % 32 == 0, "per-shard length must be 32-block aligned"
 
     def local_fn(kp, tables, adj, j0, ek_j0, pt):
-        # shapes here are per-shard: j0 [Bl,16], pt [Bl, L, 16], adj [1,128,128]
+        tile = 32 * (tables[1].shape[0] // 128)
         sp_idx = jax.lax.axis_index("sp")
+        start = (sp_idx * l_shard - 1).astype(jnp.int32)
         ct, acc = jax.vmap(
-            lambda j, x: _local_seal(kp, tables, j, x, sp_idx, l_shard)
+            lambda j, x: _local_seal(kp, tables, j, x, start, tile)
         )(j0, pt)
-        g_adj = _gf2_matmul_bf16(acc.astype(jnp.bfloat16), adj[0])  # [Bl,128]
+        g_adj = _gf2_matmul_i8(acc.astype(jnp.int8), adj[0])  # [Bl,128]
         g = jax.lax.psum(g_adj, "sp") & 1  # XOR across shards == parity
         len_block = jnp.zeros(BLOCK, jnp.uint8)
         nbits = total_blocks * BLOCK * 8

@@ -28,8 +28,8 @@ def test_gcm_sharded_matches_reference_path(dp, sp):
     rng = np.random.default_rng(7)
     key = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
     # tiny GHASH tiles so each shard's length is divisible: chunk=chunk2=2
-    kp, tables = gcm_key_setup(key, chunk=2, chunk2=2)
-    n_blocks = sp * 8  # 8 blocks per shard (divisible by 2*2)
+    kp, tables = gcm_key_setup(key, chunk=32, chunk2=2)
+    n_blocks = sp * 64  # 64 blocks per shard (32-aligned, tile=64)
     b = dp * 2
     nonces = [bytes(rng.integers(0, 256, 12, dtype=np.uint8)) for _ in range(b)]
     pts = rng.integers(0, 256, (b, n_blocks, BLOCK), dtype=np.uint8)
