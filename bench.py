@@ -22,26 +22,41 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from micro_aes_tpu.modes.gcm import gcm_encrypt
-    from micro_aes_tpu.modes.seal import gcm_key_setup, gcm_seal_kernel
+    from micro_aes_tpu.modes.seal import (
+        _trail_adjust_t,
+        gcm_key_setup,
+        gcm_seal_kernel,
+        gcm_seal_kernel_fused,
+    )
     from micro_aes_tpu.utils.bytesio import BLOCK
 
     key = bytes(range(32))
     kp, tables = gcm_key_setup(key)
-    n_blocks = 1 << 21  # 32 MiB per iteration
+    n_blocks = 1 << 20  # 16 MiB per iteration
     reps = 8
 
     j0 = np.zeros(BLOCK, np.uint8)
     j0[:12] = np.arange(12, dtype=np.uint8)
     j0[15] = 1
 
+    if jax.default_backend() == "tpu":
+        from micro_aes_tpu.ops.pallas_seal import SEAL_TILE_W
+
+        w = -(-(n_blocks + 2) // 32)
+        w += (-w) % SEAL_TILE_W
+        adj = _trail_adjust_t(key, 32 * w - n_blocks - 2)
+
+        def step(kp, tables, j0, pt):
+            return gcm_seal_kernel_fused(kp, tables, adj, j0, pt)
+    else:
+        step = gcm_seal_kernel
+
     @functools.partial(jax.jit, static_argnames=("reps",))
     def loop(kp, tables, j0, pt, reps):
         def body(_, carry):
-            ct, tag = gcm_seal_kernel(kp, tables, j0, carry)
+            ct, tag = step(kp, tables, j0, carry)
             return ct  # feed ciphertext back: keeps every iteration live
-        return gcm_seal_kernel(kp, tables, j0,
-                               jax.lax.fori_loop(0, reps - 1, body, pt))
+        return step(kp, tables, j0, jax.lax.fori_loop(0, reps - 1, body, pt))
 
     pt0 = jnp.zeros((n_blocks, BLOCK), jnp.uint8)
     ct, tag = loop(kp, tables, jnp.asarray(j0), pt0, reps)  # compile + warm
@@ -59,12 +74,22 @@ def main():
         rates.append(n_blocks * BLOCK * reps / (time.time() - t0))
     value = sorted(rates)[len(rates) // 2]  # median
 
-    # correctness guard: one small seal must match the conformance path
-    small = bytes(range(256)) * 64  # 16 KiB
-    from micro_aes_tpu.modes.seal import gcm_seal
-    assert gcm_seal(key, bytes(j0[:12]), small) == gcm_encrypt(
-        key, bytes(j0[:12]), b"", small
-    ), "bench kernel diverged from conformance-validated path"
+    # correctness guard: the benched step must match the jnp seal kernel
+    # (which the CPU conformance suites validate) on a random message.
+    rng = np.random.default_rng(0)
+    small = jnp.asarray(rng.integers(0, 256, (1024, BLOCK), dtype=np.uint8))
+    ct_a, tag_a = jax.jit(gcm_seal_kernel)(kp, tables, jnp.asarray(j0), small)
+    if jax.default_backend() == "tpu":
+        from micro_aes_tpu.ops.pallas_seal import SEAL_TILE_W
+
+        w_s = -(-(1024 + 2) // 32)
+        w_s += (-w_s) % SEAL_TILE_W
+        adj_s = _trail_adjust_t(key, 32 * w_s - 1024 - 2)
+        ct_b, tag_b = jax.jit(gcm_seal_kernel_fused)(
+            kp, tables, adj_s, jnp.asarray(j0), small)
+        assert bytes(np.asarray(tag_a)) == bytes(np.asarray(tag_b)) and \
+            np.array_equal(np.asarray(ct_a), np.asarray(ct_b)), \
+            "fused kernel diverged from the jnp seal kernel"
 
     print(json.dumps({
         "metric": "AES-256-GCM seal (enc+auth) bytes/sec/chip",

@@ -100,6 +100,84 @@ def gcm_seal_kernel(kp, tables, j0, pt_blocks):
 _gcm_seal_jit = jax.jit(gcm_seal_kernel)
 
 
+# ---------------------------------------------------------------------------
+# v3: single fused Pallas kernel (TPU only) — counter + cipher + xor + bits
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=512)
+def _trail_adjust_t(key: bytes, z: int):
+    """((M_H^z)^-1)^T as int8 — compensates the z trailing masked stream
+    positions of the fused kernel (exponents count from the stream end)."""
+    from ..ops.gf128 import gf2_matinv_np, mat_power_gf2
+
+    _, tables = gcm_key_setup(key)
+    mz = np.asarray(mat_power_gf2(tables[3], z)) if z else np.eye(128, dtype=np.uint8)
+    return jnp.asarray(gf2_matinv_np(mz).T.astype(np.int8))
+
+
+def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks):
+    """v3 fused seal (requires the Pallas TPU kernel; J0 low word == 1)."""
+    from ..ops.ghash_bulk import _combine_logdepth, _gf2_matmul_i8
+    from ..ops.pallas_seal import SEAL_TILE_W, seal_fused
+
+    n = pt_blocks.shape[0]
+    w = -(-(n + 2) // 32)
+    w += (-w) % SEAL_TILE_W
+
+    b32 = j0.astype(jnp.uint32)
+    lo0 = ((b32[12] << 24) | (b32[13] << 16) | (b32[14] << 8) | b32[15]) - 1
+    hi0 = ((b32[9] << 16) | (b32[10] << 8) | b32[11])
+    hi0 = hi0 - (lo0 == jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32)  # borrow
+    widx = jnp.arange(w, dtype=jnp.uint32) * 32
+    lo = lo0 + widx
+    hi = (hi0 + (lo < lo0).astype(jnp.uint32)) & 0xFFFFFF
+    lohi = jnp.stack([lo, hi])
+
+    bits_j0 = (j0[:, None] >> np.arange(8)) & 1  # [16,8]
+    j0c = (bits_j0.T.reshape(128, 1).astype(jnp.uint32) * jnp.uint32(0xFFFFFFFF))
+
+    # validity mask: stream position 32w+j holds message block iff in [2, n+2)
+    pos_valid = np.zeros(32 * w, np.uint32)  # built statically below
+    # (n, w are static under jit: build with numpy)
+    pv = np.zeros(32 * w, dtype=np.uint64)
+    pv[2: n + 2] = 1
+    ghm = np.zeros(w, np.uint32)
+    for j in range(32):
+        ghm |= (pv[j::32].astype(np.uint32) << j)
+    ghmask = jnp.asarray(ghm[None, :])
+
+    ptw = blocks_to_words(pt_blocks)
+    ptw = jnp.pad(ptw, ((0, 0), (2, 32 * w - n - 2)))
+    ptw = ptw.reshape(4, w, 32).transpose(0, 2, 1)  # [4,32,W] j-major
+
+    kp_flat = kp.reshape(-1, 1)
+    ctw, bits = seal_fused(kp_flat, j0c, lohi, ghmask, ptw)
+
+    ctw_flat = ctw.transpose(0, 2, 1).reshape(4, 32 * w)
+    ek_j0 = words_to_blocks(ctw_flat[:, 1:2])[0]
+    ct = words_to_blocks(ctw_flat[:, 2: n + 2])
+
+    # GHASH: level-1 directly from the [128, 32, W] bit tensor
+    w1, w2, m_outer, _ = tables
+    rhs1 = w1.reshape(32, 128, 128).transpose(1, 0, 2)  # [q, j, out]
+    s1 = jax.lax.dot_general(
+        bits, rhs1.astype(jnp.int8),
+        dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.int32) & 1  # [W, 128]
+    chunk2 = w2.shape[0] // 128
+    s2 = _gf2_matmul_i8(
+        s1.astype(jnp.int8).reshape(w // chunk2, chunk2 * 128), w2)
+    acc = _combine_logdepth(s2.astype(jnp.int8), m_outer)
+    acc = _gf2_matmul_i8(acc.astype(jnp.int8), trail_adj_t).astype(jnp.uint8)
+
+    tag = ek_j0 ^ ghash_finalize(tables, acc, _len_block(n))
+    return ct, tag
+
+
+_gcm_seal_fused_jit = jax.jit(gcm_seal_kernel_fused)
+
+
 def gcm_seal(key, nonce, plaintext) -> bytes:
     """Bulk seal: ct || 16-byte tag.  12-byte nonce, no AAD, whole-block
     plaintext (the general API handles everything else)."""
@@ -111,5 +189,16 @@ def gcm_seal(key, nonce, plaintext) -> bytes:
     j0[:12] = nonce
     j0[15] = 1
     pt = np.frombuffer(bytes(plaintext), np.uint8).reshape(-1, BLOCK)
-    ct, tag = _gcm_seal_jit(kp, tables, jnp.asarray(j0), jnp.asarray(pt))
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas_seal import SEAL_TILE_W
+
+        n = pt.shape[0]
+        w = -(-(n + 2) // 32)
+        w += (-w) % SEAL_TILE_W
+        z = 32 * w - n - 2
+        adj = _trail_adjust_t(key, z)
+        ct, tag = _gcm_seal_fused_jit(kp, tables, adj, jnp.asarray(j0),
+                                      jnp.asarray(pt))
+    else:
+        ct, tag = _gcm_seal_jit(kp, tables, jnp.asarray(j0), jnp.asarray(pt))
     return bytes(np.asarray(ct).reshape(-1)) + bytes(np.asarray(tag))

@@ -162,6 +162,20 @@ def mat_mul_gf2(a: jax.Array, b: jax.Array) -> jax.Array:
     return (acc & 1).astype(jnp.uint8)
 
 
+def gf2_matinv_np(m) -> np.ndarray:
+    """Inverse of a GF(2) matrix (numpy Gaussian elimination, any size)."""
+    m = np.asarray(m, dtype=np.uint8)
+    n = m.shape[0]
+    a = np.concatenate([m.copy(), np.eye(n, dtype=np.uint8)], axis=1)
+    for col in range(n):
+        piv = next(r for r in range(col, n) if a[r, col])
+        a[[col, piv]] = a[[piv, col]]
+        for r in range(n):
+            if r != col and a[r, col]:
+                a[r] ^= a[col]
+    return a[:, n:]
+
+
 def mat_power_gf2(m: jax.Array, k: int) -> jax.Array:
     """M^k over GF(2) by square-and-multiply (k static)."""
     result = jnp.eye(128, dtype=jnp.uint8)
