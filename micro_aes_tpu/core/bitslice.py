@@ -139,20 +139,69 @@ CONST_OUT_B = 0
 # The plane circuit (works on any array type supporting ^ and &)
 # ---------------------------------------------------------------------------
 
-def _linmap(planes, mat, const=0):
-    """out_k = XOR_i mat[k,i]*planes[i]  (^ all-ones where const bit set)."""
+def _xor_program(mat) -> tuple[list, list]:
+    """Greedy pair-factoring (Paar) of a GF(2) matrix into a straight-line
+    XOR program.  Returns (ops, outputs): ops are (a, b) signal-index
+    pairs appended after the 8 inputs; outputs[k] is the signal index of
+    row k (or -1 for a zero row)."""
+    rows = [frozenset(i for i in range(8) if mat[k, i]) for k in range(8)]
+    rows = [set(r) for r in rows]
+    nsignals = 8
+    ops: list[tuple[int, int]] = []
+    while True:
+        from collections import Counter
+
+        pairs = Counter()
+        for r in rows:
+            rs = sorted(r)
+            for x in range(len(rs)):
+                for y in range(x + 1, len(rs)):
+                    pairs[(rs[x], rs[y])] += 1
+        if not pairs:
+            break
+        (a, b), cnt = pairs.most_common(1)[0]
+        if cnt < 1 or all(len(r) <= 1 for r in rows):
+            break
+        ops.append((a, b))
+        new = nsignals
+        nsignals += 1
+        for r in rows:
+            if a in r and b in r:
+                r.discard(a)
+                r.discard(b)
+                r.add(new)
+        if all(len(r) <= 1 for r in rows):
+            break
+    outputs = [next(iter(r)) if r else -1 for r in rows]
+    return ops, outputs
+
+
+def _linmap_with_program(planes, ops, outputs, const=0):
+    signals = list(planes)
+    for a, b in ops:
+        signals.append(signals[a] ^ signals[b])
     out = []
     for k in range(8):
-        acc = None
-        for i in range(8):
-            if mat[k, i]:
-                acc = planes[i] if acc is None else acc ^ planes[i]
-        if acc is None:
-            acc = planes[0] ^ planes[0]
+        idx = outputs[k]
+        acc = signals[idx] if idx >= 0 else planes[0] ^ planes[0]
         if (const >> k) & 1:
             acc = ~acc  # XOR with the all-ones plane
         out.append(acc)
     return out
+
+
+_PROGRAM_CACHE: dict = {}
+
+
+def _linmap(planes, mat, const=0):
+    """out_k = XOR_i mat[k,i]*planes[i]  (^ all-ones where const bit set),
+    via a CSE-factored XOR program (≈half the XORs of the dense form)."""
+    key = mat.tobytes()
+    prog = _PROGRAM_CACHE.get(key)
+    if prog is None:
+        prog = _xor_program(mat)
+        _PROGRAM_CACHE[key] = prog
+    return _linmap_with_program(planes, prog[0], prog[1], const)
 
 
 def _g4_mul(a, b):

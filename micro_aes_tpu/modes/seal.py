@@ -116,8 +116,11 @@ def _trail_adjust_t(key: bytes, z: int):
     return jnp.asarray(gf2_matinv_np(mz).T.astype(np.int8))
 
 
-def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks):
-    """v3 fused seal (requires the Pallas TPU kernel; J0 low word == 1)."""
+def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks,
+                          open_direction: bool = False):
+    """v3 fused seal/open (requires the Pallas TPU kernel; J0 low word
+    == 1).  open_direction=True: input is ciphertext, output is
+    plaintext, tag computed over the input."""
     from ..ops.ghash_bulk import _combine_logdepth, _gf2_matmul_i8
     from ..ops.pallas_seal import SEAL_TILE_W, seal_fused
 
@@ -152,7 +155,8 @@ def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks):
     ptw = ptw.reshape(4, w, 32).transpose(0, 2, 1)  # [4,32,W] j-major
 
     kp_flat = kp.reshape(-1, 1)
-    ctw, bits = seal_fused(kp_flat, j0c, lohi, ghmask, ptw)
+    ctw, bits = seal_fused(kp_flat, j0c, lohi, ghmask, ptw,
+                           bits_from_input=open_direction)
 
     ctw_flat = ctw.transpose(0, 2, 1).reshape(4, 32 * w)
     ek_j0 = words_to_blocks(ctw_flat[:, 1:2])[0]
@@ -176,6 +180,40 @@ def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks):
 
 
 _gcm_seal_fused_jit = jax.jit(gcm_seal_kernel_fused)
+_gcm_open_fused_jit = jax.jit(
+    functools.partial(gcm_seal_kernel_fused, open_direction=True))
+
+
+def gcm_open(key, nonce, ct_and_tag) -> bytes:
+    """Bulk open (verify-then-return-plaintext); constraints as gcm_seal.
+    Raises AuthenticationError on tag mismatch."""
+    from ..errors import AuthenticationError
+
+    key = bytes(key)
+    data = bytes(ct_and_tag)
+    ct, tag = data[:-16], data[-16:]
+    nonce = np.frombuffer(bytes(nonce), np.uint8)
+    assert len(nonce) == 12
+    j0 = np.zeros(BLOCK, np.uint8)
+    j0[:12] = nonce
+    j0[15] = 1
+    blocks = np.frombuffer(ct, np.uint8).reshape(-1, BLOCK)
+    kp, tables = gcm_key_setup(key)
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas_seal import SEAL_TILE_W
+
+        n = blocks.shape[0]
+        w = -(-(n + 2) // 32)
+        w += (-w) % SEAL_TILE_W
+        adj = _trail_adjust_t(key, 32 * w - n - 2)
+        pt, got = _gcm_open_fused_jit(kp, tables, adj, jnp.asarray(j0),
+                                      jnp.asarray(blocks))
+        if bytes(np.asarray(got)) != tag:
+            raise AuthenticationError("GCM tag mismatch")
+        return bytes(np.asarray(pt).reshape(-1))
+    from .gcm import gcm_decrypt
+
+    return gcm_decrypt(key, bytes(nonce), b"", data)
 
 
 def gcm_seal(key, nonce, plaintext) -> bytes:

@@ -47,8 +47,8 @@ def _butterfly_rows(rows):
     return a
 
 
-def _seal_kernel(rounds: int, kp_ref, j0c_ref, lohi_ref, ghm_ref, ptw_ref,
-                 ctw_ref, bits_ref):
+def _seal_kernel(rounds: int, bits_from_input: bool, kp_ref, j0c_ref,
+                 lohi_ref, ghm_ref, ptw_ref, ctw_ref, bits_ref):
     tile = lohi_ref.shape[-1]
     lo = lohi_ref[0:1, :]  # [1, TILE]
     hi = lohi_ref[1:2, :]
@@ -83,15 +83,17 @@ def _seal_kernel(rounds: int, kp_ref, j0c_ref, lohi_ref, ghm_ref, ptw_ref,
             p = _mix_columns(p)
         p = [p[b] ^ _key_slice(kp_ref, r, b) for b in range(8)]
 
-    # --- plaintext words -> planes (butterfly), xor, back to words ---
+    # --- input words -> planes (butterfly), xor keystream, back to words.
+    # GHASH bits come from the ciphertext side: the xor OUTPUT when
+    # sealing, the INPUT when opening (bits_from_input). ---
     ct_planes = []
     for k in range(4):
         rows = [ptw_ref[k, j: j + 1, :] for j in range(32)]
         tr = _butterfly_rows(rows)  # tr[r] = plane of bit r of word k
         ks = [p[r % 8][4 * k + r // 8: 4 * k + r // 8 + 1, :] for r in range(32)]
-        ct_bits = [tr[r] ^ ks[r] for r in range(32)]  # each [1, TILE]
-        ct_planes.append(ct_bits)
-        back = _butterfly_rows(ct_bits)
+        out_bits = [tr[r] ^ ks[r] for r in range(32)]  # each [1, TILE]
+        ct_planes.append(tr if bits_from_input else out_bits)
+        back = _butterfly_rows(out_bits)
         for j in range(32):
             ctw_ref[k, j: j + 1, :] = back[j]
 
@@ -110,17 +112,19 @@ def _seal_kernel(rounds: int, kp_ref, j0c_ref, lohi_ref, ghm_ref, ptw_ref,
             bits_ref[q, :, :] = expanded.astype(jnp.int8)
 
 
-@jax.jit
-def seal_fused(kp_flat, j0_const, lohi, ghmask, pt_words):
+@functools.partial(jax.jit, static_argnames=("bits_from_input",))
+def seal_fused(kp_flat, j0_const, lohi, ghmask, pt_words,
+               bits_from_input: bool = False):
     """kp_flat uint32[(R+1)*128, 1], j0_const uint32[128,1],
     lohi uint32[2, W], ghmask uint32[1, W], pt_words uint32[4, 32, W]
-    -> (ct_words uint32[4,32,W], bits int8[128, 32, W])."""
+    -> (out_words uint32[4,32,W], bits int8[128, 32, W]).
+    bits_from_input=True gives the GCM *open* direction (input is ct)."""
     rounds = kp_flat.shape[0] // 128 - 1
     w = lohi.shape[-1]
     assert w % SEAL_TILE_W == 0
     grid = (w // SEAL_TILE_W,)
     ctw, bits = pl.pallas_call(
-        functools.partial(_seal_kernel, rounds),
+        functools.partial(_seal_kernel, rounds, bits_from_input),
         out_shape=(
             jax.ShapeDtypeStruct((4, 32, w), jnp.uint32),
             jax.ShapeDtypeStruct((128, 32, w), jnp.int8),
