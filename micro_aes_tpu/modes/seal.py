@@ -140,9 +140,8 @@ def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks,
     bits_j0 = (j0[:, None] >> np.arange(8)) & 1  # [16,8]
     j0c = (bits_j0.T.reshape(128, 1).astype(jnp.uint32) * jnp.uint32(0xFFFFFFFF))
 
-    # validity mask: stream position 32w+j holds message block iff in [2, n+2)
-    pos_valid = np.zeros(32 * w, np.uint32)  # built statically below
-    # (n, w are static under jit: build with numpy)
+    # validity mask: stream position 32w+j holds a message block iff the
+    # position is in [2, n+2) (n, w static under jit -> plain numpy)
     pv = np.zeros(32 * w, dtype=np.uint64)
     pv[2: n + 2] = 1
     ghm = np.zeros(w, np.uint32)

@@ -7,11 +7,11 @@ micro_aes.c:551-571; cMac c:576-590; gHash c:1127-1137).  Here:
     device call per message, still serial by nature);
   * `ghash_fold` — serial Horner fold where each step is a GF(2) bit
     matvec with the precomputed M_H (ops/gf128.ghash_matrix);
-  * `ghash_fold_parallel` — the TPU-first reformulation: the Horner chain
-      G_n = Σ_i M^{n-i+1} b_i
-    becomes one batched matmul against precomputed powers [M^K..M^1] per
-    K-block chunk plus a short scan over chunks — MXU work instead of a
-    128-step serial chain per block.
+  * `ghash_fold_batch` / `cbcmac_fold_batch` — vectorized over many
+    independent messages (the conformance-suite workhorses).
+
+The powers-of-H parallel reformulation of the Horner chain lives in
+ops/ghash_bulk.py (MXU matmuls + log-depth combine).
 
 All folds are masked (`nvalid` may be traced) so callers can bucket
 shapes under jit without changing results.
@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.cipher import encrypt_blocks
-from .gf128 import bits_to_blocks, blocks_to_bits, mat_apply_bits, mat_mul_gf2
+from .gf128 import bits_to_blocks, blocks_to_bits, mat_apply_bits
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -96,53 +96,6 @@ def cbcmac_fold_batch(rks, init, blocks, nvalid):
 
     acc, _ = jax.lax.scan(step, init, (jnp.swapaxes(blocks, 0, 1), idx))
     return acc
-
-
-def matrix_powers(m_h: jax.Array, k: int) -> jax.Array:
-    """[M^k, M^(k-1), ..., M^1] as uint8[k, 128, 128] (host-cached per key)."""
-    mats = [m_h]
-    for _ in range(k - 1):
-        mats.append(mat_mul_gf2(m_h, mats[-1]))
-    return jnp.stack(mats[::-1])  # index j holds M^(k-j)
-
-
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def ghash_fold_parallel(powers, init, blocks, nvalid, chunk: int = 32):
-    """Powers-of-H GHASH: process `chunk` blocks per step with one batched
-    GF(2) matmul (MXU), then advance the accumulator by M^chunk.
-
-    powers = matrix_powers(M_H, chunk); powers[0] = M^chunk.
-    Requires blocks.shape[0] % chunk == 0 (pad + mask to arrange this).
-    """
-    n = blocks.shape[0]
-    assert n % chunk == 0
-    m_chunk = powers[0]  # M^chunk
-    bbits = blocks_to_bits(blocks).reshape(n // chunk, chunk, 128)
-    idx = jnp.arange(n).reshape(n // chunk, chunk)
-    g0 = blocks_to_bits(init)
-
-    # Valid-prefix masking: a block i >= nvalid must act as absent.  With
-    # zero blocks the matvec chain still advances the accumulator, so we
-    # restrict to the case where masking happens at chunk granularity:
-    # callers pad nvalid to a multiple of chunk worth of zero blocks only
-    # when those zeros are genuinely part of the padded message (handled
-    # by the serial fold otherwise).  Chunks fully beyond nvalid are
-    # skipped exactly.
-    def step(g, xi):
-        b, i = xi  # b: [chunk, 128]
-        x = b.at[0].set(b[0] ^ g)
-        # sum_j M^(chunk-j) x_j  ==  einsum over the stacked powers
-        acc = jax.lax.dot_general(
-            x.astype(jnp.int32),
-            powers.astype(jnp.int32),
-            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )  # [chunk, 128]
-        g2 = (jnp.sum(acc, axis=0) & 1).astype(jnp.uint8)
-        return jnp.where(i[0] < nvalid, g2, g), None
-
-    g, _ = jax.lax.scan(step, g0, (bbits, idx))
-    return bits_to_blocks(g)
 
 
 # ---------------------------------------------------------------------------
