@@ -116,11 +116,13 @@ def _trail_adjust_t(key: bytes, z: int):
     return jnp.asarray(gf2_matinv_np(mz).T.astype(np.int8))
 
 
-def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks,
-                          open_direction: bool = False):
-    """v3 fused seal/open (requires the Pallas TPU kernel; J0 low word
-    == 1).  open_direction=True: input is ciphertext, output is
-    plaintext, tag computed over the input."""
+def fused_seal_body(kp, tables, j0, pt_blocks,
+                    open_direction: bool = False, start=-1):
+    """Shared fused-kernel body: returns (out_blocks, ek_j0, acc_bits)
+    where acc_bits uint8[128] is the local GHASH partial *before* the
+    trailing-pad compensation.  `start` (traced int32) is the counter
+    offset of stream position 0 relative to J0 (-1 for a whole message;
+    sp_idx*L - 1 for a block shard); must keep generation 32-aligned."""
     from ..ops.ghash_bulk import _combine_logdepth, _gf2_matmul_i8
     from ..ops.pallas_seal import SEAL_TILE_W, seal_fused
 
@@ -129,12 +131,15 @@ def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks,
     w += (-w) % SEAL_TILE_W
 
     b32 = j0.astype(jnp.uint32)
-    lo0 = ((b32[12] << 24) | (b32[13] << 16) | (b32[14] << 8) | b32[15]) - 1
-    hi0 = ((b32[9] << 16) | (b32[10] << 8) | b32[11])
-    hi0 = hi0 - (lo0 == jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32)  # borrow
+    j0_lo = (b32[12] << 24) | (b32[13] << 16) | (b32[14] << 8) | b32[15]
+    j0_hi = (b32[9] << 16) | (b32[10] << 8) | b32[11]
+    s32 = jnp.asarray(start, jnp.int32)
+    sext = (s32 >> 31).astype(jnp.uint32)
+    lo0 = j0_lo + s32.astype(jnp.uint32)
+    carry0 = (lo0 < j0_lo).astype(jnp.uint32)
     widx = jnp.arange(w, dtype=jnp.uint32) * 32
     lo = lo0 + widx
-    hi = (hi0 + (lo < lo0).astype(jnp.uint32)) & 0xFFFFFF
+    hi = (j0_hi + sext + carry0 + (lo < lo0).astype(jnp.uint32)) & 0xFFFFFF
     lohi = jnp.stack([lo, hi])
 
     bits_j0 = (j0[:, None] >> np.arange(8)) & 1  # [16,8]
@@ -172,8 +177,28 @@ def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks,
     s2 = _gf2_matmul_i8(
         s1.astype(jnp.int8).reshape(w // chunk2, chunk2 * 128), w2)
     acc = _combine_logdepth(s2.astype(jnp.int8), m_outer)
-    acc = _gf2_matmul_i8(acc.astype(jnp.int8), trail_adj_t).astype(jnp.uint8)
+    return ct, ek_j0, acc
 
+
+def fused_trailing_pad(n_blocks: int) -> int:
+    """z = number of trailing masked stream positions for a message/shard
+    of n blocks (static)."""
+    from ..ops.pallas_seal import SEAL_TILE_W
+
+    w = -(-(n_blocks + 2) // 32)
+    w += (-w) % SEAL_TILE_W
+    return 32 * w - n_blocks - 2
+
+
+def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks,
+                          open_direction: bool = False):
+    """v3 fused seal/open (whole message): body + compensation + tag."""
+    from ..ops.ghash_bulk import _gf2_matmul_i8
+
+    n = pt_blocks.shape[0]
+    ct, ek_j0, acc = fused_seal_body(kp, tables, j0, pt_blocks,
+                                     open_direction)
+    acc = _gf2_matmul_i8(acc.astype(jnp.int8), trail_adj_t).astype(jnp.uint8)
     tag = ek_j0 ^ ghash_finalize(tables, acc, _len_block(n))
     return ct, tag
 

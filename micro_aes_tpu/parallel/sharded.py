@@ -79,6 +79,65 @@ def _local_seal(kp, tables, j0, pt, start, tile):
     return ct, acc
 
 
+def shard_adjust_matrices_fused(m_h: jax.Array, blocks_per_shard: int,
+                                num_shards: int) -> jax.Array:
+    """Per-shard combine matrices for the *fused-kernel* local pipeline:
+    A_s = M^(L*(S-1-s)) . M^(-z) where z is the local trailing stream pad
+    (modes/seal.fused_trailing_pad) — one matrix absorbs both the shard
+    offset and the local pad compensation.  Returned transposed, int8."""
+    from ..modes.seal import fused_trailing_pad
+    from ..ops.gf128 import gf2_matinv_np
+
+    z = fused_trailing_pad(blocks_per_shard)
+    minv_z = (gf2_matinv_np(np.asarray(mat_power_gf2(m_h, z)))
+              if z else np.eye(128, dtype=np.uint8))
+    m_l = np.asarray(mat_power_gf2(m_h, blocks_per_shard))
+    mats = [np.eye(128, dtype=np.uint8)]
+    for _ in range(num_shards - 1):
+        mats.append((mats[-1].astype(np.int32) @ m_l.astype(np.int32) % 2
+                     ).astype(np.uint8))
+    stack = np.stack([
+        ((mats[num_shards - 1 - s].astype(np.int32) @ minv_z.astype(np.int32))
+         % 2).astype(np.int8).T
+        for s in range(num_shards)
+    ])
+    return jnp.asarray(stack)
+
+
+def gcm_seal_sharded_fused_fn(mesh: Mesh, total_blocks: int):
+    """Fused-Pallas-kernel variant of gcm_seal_sharded_fn (TPU only).
+    Same signature; adj must come from shard_adjust_matrices_fused."""
+    from ..modes.seal import _len_block, fused_seal_body
+
+    sp = mesh.shape["sp"]
+    assert total_blocks % sp == 0
+    l_shard = total_blocks // sp
+    assert l_shard % 32 == 0
+
+    def local_fn(kp, tables, adj, j0, ek_j0, pt):
+        sp_idx = jax.lax.axis_index("sp")
+        start = (sp_idx * l_shard - 1).astype(jnp.int32)
+        ct, _ek, acc = jax.vmap(
+            lambda j, x: fused_seal_body(kp, tables, j, x, False, start)
+        )(j0, pt)
+        g_adj = _gf2_matmul_i8(acc.astype(jnp.int8), adj[0])
+        g = jax.lax.psum(g_adj, "sp") & 1
+        tag = ek_j0 ^ jax.vmap(
+            lambda gb: ghash_finalize(tables, gb.astype(jnp.uint8),
+                                      _len_block(total_blocks))
+        )(g)
+        return ct, tag
+
+    fn = _shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P("sp"), P("dp"), P("dp"), P("dp", "sp")),
+        out_specs=(P("dp", "sp"), P("dp")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def gcm_seal_sharded_fn(mesh: Mesh, total_blocks: int):
     """Build the jitted sharded seal for a given mesh and message length.
 
