@@ -208,6 +208,61 @@ _gcm_open_fused_jit = jax.jit(
     functools.partial(gcm_seal_kernel_fused, open_direction=True))
 
 
+def ctr_bulk_kernel(kp, ctr0, pt_blocks):
+    """Fused bulk CTR (CTR_NA semantics): ctr0 = nonce||0^3||0x01 block.
+    Data occupies stream positions 1..n (counter value = position, since
+    CTR starts at 1 and generation starts 32-aligned at 0)."""
+    from ..ops.pallas_seal import SEAL_TILE_W, ctr_fused
+
+    n = pt_blocks.shape[0]
+    w = -(-(n + 1) // 32)
+    w += (-w) % SEAL_TILE_W
+
+    b32 = ctr0.astype(jnp.uint32)
+    j0_lo = (b32[12] << 24) | (b32[13] << 16) | (b32[14] << 8) | b32[15]
+    j0_hi = (b32[9] << 16) | (b32[10] << 8) | b32[11]
+    lo0 = j0_lo - 1
+    hi0 = (j0_hi - (lo0 == jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32)) & 0xFFFFFF
+    widx = jnp.arange(w, dtype=jnp.uint32) * 32
+    lo = lo0 + widx
+    hi = (hi0 + (lo < lo0).astype(jnp.uint32)) & 0xFFFFFF
+    lohi = jnp.stack([lo, hi])
+
+    bits_j0 = (ctr0[:, None] >> np.arange(8)) & 1
+    j0c = (bits_j0.T.reshape(128, 1).astype(jnp.uint32) * jnp.uint32(0xFFFFFFFF))
+
+    ptw = blocks_to_words(pt_blocks)
+    ptw = jnp.pad(ptw, ((0, 0), (1, 32 * w - n - 1)))
+    ptw = ptw.reshape(4, w, 32).transpose(0, 2, 1)
+
+    ctw = ctr_fused(kp.reshape(-1, 1), j0c, lohi, ptw)
+    ctw_flat = ctw.transpose(0, 2, 1).reshape(4, 32 * w)
+    return words_to_blocks(ctw_flat[:, 1: n + 1])
+
+
+_ctr_bulk_jit = jax.jit(ctr_bulk_kernel)
+
+
+def ctr_bulk(key, iv, data) -> bytes:
+    """Bulk CTR encrypt/decrypt (self-inverse), fused on TPU.  12-byte
+    nonce with the RFC-3686 start value (modes/ctr.py semantics); data a
+    whole-block multiple.  Falls back to the host CTR path off-TPU."""
+    key = bytes(key)
+    iv = bytes(iv)
+    if jax.default_backend() != "tpu":
+        from .ctr import ctr_encrypt
+
+        return ctr_encrypt(key, iv, data)
+    assert len(iv) >= 12
+    ctr0 = np.zeros(BLOCK, np.uint8)
+    ctr0[:12] = np.frombuffer(iv[:12], np.uint8)
+    ctr0[15] = 1  # CTR_START_VALUE (micro_aes.h:98)
+    blocks = np.frombuffer(bytes(data), np.uint8).reshape(-1, BLOCK)
+    kp, _ = gcm_key_setup(key)
+    out = _ctr_bulk_jit(kp, jnp.asarray(ctr0), jnp.asarray(blocks))
+    return bytes(np.asarray(out).reshape(-1))
+
+
 def gcm_open(key, nonce, ct_and_tag) -> bytes:
     """Bulk open (verify-then-return-plaintext); constraints as gcm_seal.
     Raises AuthenticationError on tag mismatch."""

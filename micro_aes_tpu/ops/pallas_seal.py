@@ -112,6 +112,72 @@ def _seal_kernel(rounds: int, bits_from_input: bool, kp_ref, j0c_ref,
             bits_ref[q, :, :] = expanded.astype(jnp.int8)
 
 
+def _ctr_kernel(rounds: int, kp_ref, j0c_ref, lohi_ref, ptw_ref, ctw_ref):
+    """CTR-only variant: no GHASH bit emission (skips the 8x bit-tensor
+    traffic).  Reuses _seal_kernel with a throwaway mask/bits surface."""
+    tile = lohi_ref.shape[-1]
+    lo = lohi_ref[0:1, :]
+    hi = lohi_ref[1:2, :]
+    ones = jnp.uint32(0xFFFFFFFF)
+    p = []
+    for b in range(8):
+        rows = []
+        for pos in range(16):
+            if pos <= 8:
+                rows.append(j0c_ref[b * 16 + pos: b * 16 + pos + 1, :]
+                            | jnp.zeros((1, tile), jnp.uint32))
+            elif pos >= 12:
+                k = 8 * (15 - pos) + b
+                if k < 5:
+                    rows.append(jnp.full((1, tile),
+                                         np.uint32(_LOW_BIT_PATTERNS[k])))
+                else:
+                    rows.append(((lo >> k) & 1) * ones)
+            else:
+                k = 8 * (11 - pos) + b
+                rows.append(((hi >> k) & 1) * ones)
+        p.append(jnp.concatenate(rows, axis=0))
+    p = [p[b] ^ _key_slice(kp_ref, 0, b) for b in range(8)]
+    for r in range(1, rounds + 1):
+        p = sbox_planes(p, True)
+        p = [_permute_rows(x, SHIFT_PERM) for x in p]
+        if r != rounds:
+            p = _mix_columns(p)
+        p = [p[b] ^ _key_slice(kp_ref, r, b) for b in range(8)]
+    for k in range(4):
+        rows = [ptw_ref[k, j: j + 1, :] for j in range(32)]
+        tr = _butterfly_rows(rows)
+        ks = [p[r % 8][4 * k + r // 8: 4 * k + r // 8 + 1, :] for r in range(32)]
+        back = _butterfly_rows([tr[r] ^ ks[r] for r in range(32)])
+        for j in range(32):
+            ctw_ref[k, j: j + 1, :] = back[j]
+
+
+@jax.jit
+def ctr_fused(kp_flat, j0_const, lohi, pt_words):
+    """Pure-CTR fused kernel (counter + cipher + xor; no GHASH)."""
+    rounds = kp_flat.shape[0] // 128 - 1
+    w = lohi.shape[-1]
+    assert w % SEAL_TILE_W == 0
+    return pl.pallas_call(
+        functools.partial(_ctr_kernel, rounds),
+        out_shape=jax.ShapeDtypeStruct((4, 32, w), jnp.uint32),
+        grid=(w // SEAL_TILE_W,),
+        in_specs=[
+            pl.BlockSpec((kp_flat.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, SEAL_TILE_W), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+    )(kp_flat, j0_const, lohi, pt_words)
+
+
 @functools.partial(jax.jit, static_argnames=("bits_from_input",))
 def seal_fused(kp_flat, j0_const, lohi, ghmask, pt_words,
                bits_from_input: bool = False):
