@@ -65,7 +65,7 @@ def main():
     # NOTE: the remote execution layer caches identical (executable, args)
     # runs, so every timed call must use distinct input data.
     rates = []
-    for trial in range(3):
+    for trial in range(5):
         pt = pt0 + np.uint8(trial + 1)
         pt.block_until_ready()
         t0 = time.time()

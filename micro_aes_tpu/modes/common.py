@@ -52,8 +52,14 @@ def dec_blocks_np(key: bytes, blocks: np.ndarray) -> np.ndarray:
 
 
 def enc_block(key: bytes, block: np.ndarray) -> np.ndarray:
-    """Encrypt a single 16-byte block (host ndarray in/out)."""
-    return enc_blocks_np(key, np.asarray(block, np.uint8).reshape(1, 16))[0]
+    """Encrypt a single 16-byte block (host ndarray in/out).
+
+    Uses the native C++ oracle (differentially tested against the JAX
+    paths) — tiny setup-time encrypts must never pay a remote-device
+    compile."""
+    from .. import native
+
+    return native.oracle_encrypt(key, np.asarray(block, np.uint8).reshape(1, 16))[0]
 
 
 def keystream(key: bytes, base: np.ndarray, mode: str, nblocks: int) -> np.ndarray:

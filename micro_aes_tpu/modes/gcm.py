@@ -34,7 +34,7 @@ GCM_TAG_LEN = 16
 def _auth_matrix(key: bytes):
     """M_H for H = E_K(0) (GCMsetup, micro_aes.c:1140-1144), cached per key."""
     h = enc_block(key, np.zeros(16, np.uint8))
-    return ghash_matrix(jnp.asarray(h))
+    return ghash_matrix(h)  # host numpy probe
 
 
 def _ghash(key: bytes, aad, ct, aad_len: int, ct_len: int) -> np.ndarray:

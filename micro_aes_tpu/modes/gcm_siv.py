@@ -25,12 +25,14 @@ SIVGCM_TAG_LEN = 16
 def _derive_keys(key: bytes, nonce: bytes) -> tuple[bytes, bytes]:
     """GCM_SIVsetup: halves of E_K(le32(i) || nonce) for i = 0.. give the
     auth key (2 halves) then the message key (Nk/2 halves)."""
+    from .. import native
+
     count = 2 + len(key) // 8
     blocks = np.zeros((count, BLOCK), np.uint8)
     blocks[:, 4:16] = np.frombuffer(nonce, np.uint8)
     for i in range(count):
         blocks[i, 0] = i  # LE counter in byte 0 (i < 256 always)
-    enc = enc_blocks_np(key, blocks)
+    enc = native.oracle_encrypt(key, blocks)  # setup-time: host oracle
     halves = enc[:, :8].reshape(-1)
     auth_key = bytes(halves[:16])
     msg_key = bytes(halves[16: 16 + len(key)])
@@ -54,7 +56,7 @@ def _polyval(auth_key: bytes, aad, pt) -> np.ndarray:
 
 @functools.lru_cache(maxsize=256)
 def _polyval_matrix_cached(auth_key: bytes):
-    return polyval_matrix(jnp.asarray(np.frombuffer(auth_key, np.uint8)))
+    return polyval_matrix(np.frombuffer(auth_key, np.uint8))
 
 
 def _tag(msg_key: bytes, nonce: np.ndarray, pv: np.ndarray) -> np.ndarray:

@@ -53,7 +53,7 @@ def gcm_key_setup(key: bytes, chunk: int = 32, chunk2: int = 32):
     rk = expand_key(key)
     kp = jnp.asarray(key_planes(rk))
     h = enc_block(key, np.zeros(BLOCK, np.uint8))
-    m_h = ghash_matrix(jnp.asarray(h))
+    m_h = ghash_matrix(h)  # host numpy probe
     tables = ghash_power_tables(m_h, chunk, chunk2, plane_order=(chunk == 32))
     return kp, tables
 
@@ -109,10 +109,11 @@ _gcm_seal_jit = jax.jit(gcm_seal_kernel)
 def _trail_adjust_t(key: bytes, z: int):
     """((M_H^z)^-1)^T as int8 — compensates the z trailing masked stream
     positions of the fused kernel (exponents count from the stream end)."""
-    from ..ops.gf128 import gf2_matinv_np, mat_power_gf2
+    from ..ops.gf128 import gf2_matinv_np, mat_power_gf2_np
 
     _, tables = gcm_key_setup(key)
-    mz = np.asarray(mat_power_gf2(tables[3], z)) if z else np.eye(128, dtype=np.uint8)
+    mz = (mat_power_gf2_np(np.asarray(tables[3]), z) if z
+          else np.eye(128, dtype=np.uint8))
     return jnp.asarray(gf2_matinv_np(mz).T.astype(np.int8))
 
 

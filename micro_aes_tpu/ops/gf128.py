@@ -131,14 +131,57 @@ def _probe_linear_map(apply_fn, h_block: jax.Array) -> jax.Array:
     return blocks_to_bits(cols).T.astype(jnp.uint8)  # [128 out, 128 in]
 
 
-def ghash_matrix(h_block: jax.Array) -> jax.Array:
-    """M such that bits(mulGF128(H, y)) = M @ bits(y) mod 2."""
-    return _probe_linear_map(mul_gf128, h_block)
+# Host (numpy) probes: the matrices are tiny (128x128 bits) and the
+# bit-serial oracles take microseconds in numpy — never pay device
+# dispatch/compile for per-key setup.
+
+def _bits_np(blocks):
+    b = (np.asarray(blocks, np.uint8)[..., :, None] >> np.arange(7, -1, -1)) & 1
+    return b.reshape(np.asarray(blocks).shape[:-1] + (128,))
 
 
-def polyval_matrix(h_block: jax.Array) -> jax.Array:
-    """M such that bits(dotGF128(H, y)) = M @ bits(y) mod 2."""
-    return _probe_linear_map(dot_gf128, h_block)
+def _halve_be_np(x):
+    y = (x >> 1).astype(np.uint8)
+    y[..., 1:] |= (x[..., :-1] & 1) << 7
+    y[..., 0] ^= (x[..., 15] & 1) * 0xE1
+    return y
+
+
+def _halve_le_np(x):
+    y = (x >> 1).astype(np.uint8)
+    y[..., :-1] |= (x[..., 1:] & 1) << 7
+    y[..., 15] ^= (x[..., 0] & 1) * 0xE1
+    return y
+
+
+def ghash_matrix(h_block) -> np.ndarray:
+    """M (numpy uint8[128,128]) with bits(mulGF128(H, y)) = M @ bits(y)."""
+    h = np.asarray(h_block, np.uint8)
+    hbits = _bits_np(h)
+    eye = np.eye(128, dtype=np.uint8)
+    y = eye.reshape(128, 16, 8)  # unit bit-vectors as blocks
+    y = np.packbits(y, axis=-1, bitorder="big").reshape(128, 16)
+    acc = np.zeros((128, 16), np.uint8)
+    for i in range(128):
+        if hbits[i]:
+            acc ^= y
+        y = _halve_be_np(y)
+    return _bits_np(acc).T.astype(np.uint8)
+
+
+def polyval_matrix(h_block) -> np.ndarray:
+    """M (numpy uint8[128,128]) with bits(dotGF128(H, y)) = M @ bits(y)."""
+    h = np.asarray(h_block, np.uint8)
+    hb = _bits_np(h).reshape(16, 8)[::-1].reshape(128)  # byte 15 first
+    eye = np.eye(128, dtype=np.uint8)
+    y = np.packbits(eye.reshape(128, 16, 8), axis=-1,
+                    bitorder="big").reshape(128, 16)
+    acc = np.zeros((128, 16), np.uint8)
+    for i in range(128):
+        y = _halve_le_np(y)
+        if hb[i]:
+            acc ^= y
+    return _bits_np(acc).T.astype(np.uint8)
 
 
 def mat_apply_bits(m: jax.Array, bits: jax.Array) -> jax.Array:
@@ -160,6 +203,19 @@ def mat_mul_gf2(a: jax.Array, b: jax.Array) -> jax.Array:
     acc = jnp.dot(a.astype(jnp.int32), b.astype(jnp.int32),
                   preferred_element_type=jnp.int32)
     return (acc & 1).astype(jnp.uint8)
+
+
+def mat_power_gf2_np(m, k: int) -> np.ndarray:
+    """M^k over GF(2) in numpy (host; square-and-multiply)."""
+    result = np.eye(128, dtype=np.int64)
+    base = np.asarray(m, np.uint8).astype(np.int64)
+    while k:
+        if k & 1:
+            result = (result @ base) % 2
+        k >>= 1
+        if k:
+            base = (base @ base) % 2
+    return result.astype(np.uint8)
 
 
 def gf2_matinv_np(m) -> np.ndarray:

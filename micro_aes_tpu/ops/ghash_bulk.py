@@ -34,27 +34,33 @@ _PLANE_PERM = np.concatenate([
 ])
 
 
-def ghash_power_tables(m_h: jax.Array, chunk: int = CHUNK, chunk2: int = CHUNK2,
+def ghash_power_tables(m_h, chunk: int = CHUNK, chunk2: int = CHUNK2,
                        plane_order: bool = False):
     """Per-key precompute: (W1 [C*128,128], W2 [C2*128,128], M_outer, M_H)
-    as int8.  W1 row-block j holds (M^(C-j))^T so S = c_flat @ W1."""
-    pows = [m_h]
+    as int8 device arrays.  W1 row-block j holds (M^(C-j))^T so
+    S = c_flat @ W1.  Built entirely in numpy on the host (the matrices
+    are tiny; device dispatch/compile would dominate per-key setup)."""
+    m = np.asarray(m_h, np.uint8).astype(np.int64)
+
+    def mm(a, b):
+        return (a @ b) % 2
+
+    pows = [m]
     for _ in range(chunk - 1):
-        pows.append(mat_mul_gf2(m_h, pows[-1]))
-    w1 = jnp.concatenate(
-        [jnp.transpose(pows[chunk - 1 - j]) for j in range(chunk)], axis=0)
+        pows.append(mm(m, pows[-1]))
+    w1 = np.concatenate([pows[chunk - 1 - j].T for j in range(chunk)], axis=0)
     if plane_order:
         assert chunk == CHUNK
         w1 = w1[_PLANE_PERM]
     m_c = pows[chunk - 1]  # M^C
-    pows2 = [jnp.eye(128, dtype=jnp.uint8), m_c]
+    pows2 = [np.eye(128, dtype=np.int64), m_c]
     for _ in range(chunk2 - 2):
-        pows2.append(mat_mul_gf2(m_c, pows2[-1]))
-    w2 = jnp.concatenate(
-        [jnp.transpose(pows2[chunk2 - 1 - j]) for j in range(chunk2)], axis=0)
-    m_outer = mat_mul_gf2(m_c, pows2[chunk2 - 1])  # M^(C*C2)
-    return (w1.astype(jnp.int8), w2.astype(jnp.int8),
-            m_outer.astype(jnp.int8), m_h)
+        pows2.append(mm(m_c, pows2[-1]))
+    w2 = np.concatenate([pows2[chunk2 - 1 - j].T for j in range(chunk2)], axis=0)
+    m_outer = mm(m_c, pows2[chunk2 - 1])  # M^(C*C2)
+    return (jnp.asarray(w1.astype(np.int8)), jnp.asarray(w2.astype(np.int8)),
+            jnp.asarray(m_outer.astype(np.int8)),
+            jnp.asarray(np.asarray(m_h, np.uint8)))
 
 
 def _gf2_matmul_i8(x, w):

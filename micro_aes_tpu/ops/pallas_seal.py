@@ -153,6 +153,57 @@ def _ctr_kernel(rounds: int, kp_ref, j0c_ref, lohi_ref, ptw_ref, ctw_ref):
             ctw_ref[k, j: j + 1, :] = back[j]
 
 
+def _ctrw_kernel(rounds: int, kp_ref, ctrw_ref, ptw_ref, ctw_ref):
+    """CTR with counter blocks provided as words (any counter convention:
+    the caller builds [4,32,W] counter words with plain vector math).
+    Butterflies counters into planes in-kernel, runs the rounds, xors."""
+    p = [[None] * 16 for _ in range(8)]
+    for k in range(4):
+        rows = [ctrw_ref[k, j: j + 1, :] for j in range(32)]
+        tr = _butterfly_rows(rows)
+        for r in range(32):
+            p[r % 8][4 * k + r // 8] = tr[r]
+    p = [jnp.concatenate(pb, axis=0) for pb in p]
+    p = [p[b] ^ _key_slice(kp_ref, 0, b) for b in range(8)]
+    for r in range(1, rounds + 1):
+        p = sbox_planes(p, True)
+        p = [_permute_rows(x, SHIFT_PERM) for x in p]
+        if r != rounds:
+            p = _mix_columns(p)
+        p = [p[b] ^ _key_slice(kp_ref, r, b) for b in range(8)]
+    for k in range(4):
+        rows = [ptw_ref[k, j: j + 1, :] for j in range(32)]
+        tr = _butterfly_rows(rows)
+        ks = [p[r % 8][4 * k + r // 8: 4 * k + r // 8 + 1, :] for r in range(32)]
+        back = _butterfly_rows([tr[r] ^ ks[r] for r in range(32)])
+        for j in range(32):
+            ctw_ref[k, j: j + 1, :] = back[j]
+
+
+@jax.jit
+def ctrw_fused(kp_flat, ctr_words, pt_words):
+    """Fused CTR with caller-supplied counter words [4,32,W] (LE32
+    conventions, preset counters, SIV variants...)."""
+    rounds = kp_flat.shape[0] // 128 - 1
+    w = ctr_words.shape[-1]
+    assert w % SEAL_TILE_W == 0
+    return pl.pallas_call(
+        functools.partial(_ctrw_kernel, rounds),
+        out_shape=jax.ShapeDtypeStruct((4, 32, w), jnp.uint32),
+        grid=(w // SEAL_TILE_W,),
+        in_specs=[
+            pl.BlockSpec((kp_flat.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+    )(kp_flat, ctr_words, pt_words)
+
+
 @jax.jit
 def ctr_fused(kp_flat, j0_const, lohi, pt_words):
     """Pure-CTR fused kernel (counter + cipher + xor; no GHASH)."""

@@ -35,7 +35,7 @@ from ..core.bitslice import (
 )
 from ..ops.counter import counter_planes_be
 from ..ops.pallas_cipher import cipher_planes_auto
-from ..ops.gf128 import mat_power_gf2
+from ..ops.gf128 import mat_power_gf2_np
 from ..ops.ghash_bulk import (
     _gf2_matmul_i8,
     ghash_finalize,
@@ -48,15 +48,13 @@ from ..utils.bytesio import BLOCK
 def shard_adjust_matrices(m_h: jax.Array, blocks_per_shard: int,
                           num_shards: int) -> jax.Array:
     """adj[s] = (M^(L*(S-1-s)))^T as int8, for the cross-shard combine."""
-    m_l = mat_power_gf2(m_h, blocks_per_shard)
-    mats = [jnp.eye(128, dtype=jnp.uint8)]
+    m_l = mat_power_gf2_np(np.asarray(m_h), blocks_per_shard).astype(np.int64)
+    mats = [np.eye(128, dtype=np.int64)]
     for _ in range(num_shards - 1):
-        mats.append(
-            ((mats[-1].astype(jnp.int32) @ m_l.astype(jnp.int32)) & 1
-             ).astype(jnp.uint8))
-    stack = jnp.stack(
-        [jnp.transpose(mats[num_shards - 1 - s]) for s in range(num_shards)])
-    return stack.astype(jnp.int8)
+        mats.append((mats[-1] @ m_l) % 2)
+    stack = np.stack(
+        [mats[num_shards - 1 - s].T for s in range(num_shards)])
+    return jnp.asarray(stack.astype(np.int8))
 
 
 def _local_seal(kp, tables, j0, pt, start, tile):
@@ -89,9 +87,9 @@ def shard_adjust_matrices_fused(m_h: jax.Array, blocks_per_shard: int,
     from ..ops.gf128 import gf2_matinv_np
 
     z = fused_trailing_pad(blocks_per_shard)
-    minv_z = (gf2_matinv_np(np.asarray(mat_power_gf2(m_h, z)))
+    minv_z = (gf2_matinv_np(mat_power_gf2_np(np.asarray(m_h), z))
               if z else np.eye(128, dtype=np.uint8))
-    m_l = np.asarray(mat_power_gf2(m_h, blocks_per_shard))
+    m_l = mat_power_gf2_np(np.asarray(m_h), blocks_per_shard)
     mats = [np.eye(128, dtype=np.uint8)]
     for _ in range(num_shards - 1):
         mats.append((mats[-1].astype(np.int32) @ m_l.astype(np.int32) % 2
