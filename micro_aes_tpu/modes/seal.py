@@ -19,7 +19,9 @@ Key layout facts exploited:
     so tile padding always goes in front.
 
 The per-message host path (modes/gcm.py) remains the general/ragged API;
-this kernel requires a 12-byte nonce, empty AAD, and whole-block length.
+this kernel requires a 12-byte nonce and whole-block length (AAD of any
+byte length is supported: its GHASH partial folds in ahead of the
+ciphertext via one cached matrix power).
 """
 from __future__ import annotations
 
@@ -58,10 +60,17 @@ def gcm_key_setup(key: bytes, chunk: int = 32, chunk2: int = 32):
     return kp, tables
 
 
-def _len_block(n_blocks: int) -> jax.Array:
+def _len_block(n_blocks: int, aad_bytes: int = 0) -> jax.Array:
     lb = np.zeros(BLOCK, np.uint8)
+    lb[:8] = np.frombuffer((aad_bytes * 8).to_bytes(8, "big"), np.uint8)
     lb[8:] = np.frombuffer((n_blocks * BLOCK * 8).to_bytes(8, "big"), np.uint8)
     return jnp.asarray(lb)
+
+
+# std GHASH bit index q_std = 8p + (7-b)  ->  plane-order index b*16 + p
+_STD2PLANE = np.array(
+    [8 * (q % 16) + 7 - q // 16 for q in range(128)], dtype=np.int32
+)
 
 
 def gcm_seal_kernel(kp, tables, j0, pt_blocks):
@@ -191,22 +200,58 @@ def fused_trailing_pad(n_blocks: int) -> int:
     return 32 * w - n_blocks - 2
 
 
+@functools.lru_cache(maxsize=512)
+def _aad_shift_t(key: bytes, n_ct_blocks: int):
+    """(M_H^n)^T as int8 — shifts the AAD partial past the ciphertext
+    blocks: G = M^n * G_aad ^ G_ct."""
+    from ..ops.gf128 import mat_power_gf2_np
+
+    _, tables = gcm_key_setup(key)
+    return jnp.asarray(
+        mat_power_gf2_np(np.asarray(tables[3]), n_ct_blocks).T.astype(np.int8))
+
+
 def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks,
-                          open_direction: bool = False):
-    """v3 fused seal/open (whole message): body + compensation + tag."""
-    from ..ops.ghash_bulk import _gf2_matmul_i8
+                          open_direction: bool = False,
+                          aad_blocks=None, aad_bytes: int = 0,
+                          aad_shift_t=None):
+    """v3 fused seal/open (whole message): body + compensation + tag.
+    aad_blocks uint8[Na,16] (zero-padded tail) folds in ahead of the
+    ciphertext via one cached matrix power (aad_shift_t)."""
+    from ..ops.gf128 import blocks_to_bits
+    from ..ops.ghash_bulk import _gf2_matmul_i8, ghash_from_bits
 
     n = pt_blocks.shape[0]
     ct, ek_j0, acc = fused_seal_body(kp, tables, j0, pt_blocks,
                                      open_direction)
-    acc = _gf2_matmul_i8(acc.astype(jnp.int8), trail_adj_t).astype(jnp.uint8)
-    tag = ek_j0 ^ ghash_finalize(tables, acc, _len_block(n))
+    acc = _gf2_matmul_i8(acc.astype(jnp.int8), trail_adj_t)
+    if aad_blocks is not None and aad_blocks.shape[0]:
+        chunk2 = tables[1].shape[0] // 128
+        tile = 32 * chunk2
+        abits = blocks_to_bits(aad_blocks).astype(jnp.int8)[:, _STD2PLANE]
+        apad = (-aad_blocks.shape[0]) % tile
+        if apad:
+            abits = jnp.concatenate(
+                [jnp.zeros((apad, 128), jnp.int8), abits], axis=0)
+        g_aad = ghash_from_bits(tables, abits)
+        acc = acc ^ _gf2_matmul_i8(g_aad.astype(jnp.int8), aad_shift_t)
+    acc = acc.astype(jnp.uint8)
+    tag = ek_j0 ^ ghash_finalize(tables, acc, _len_block(n, aad_bytes))
     return ct, tag
 
 
-_gcm_seal_fused_jit = jax.jit(gcm_seal_kernel_fused)
-_gcm_open_fused_jit = jax.jit(
-    functools.partial(gcm_seal_kernel_fused, open_direction=True))
+_gcm_seal_fused_jit = jax.jit(
+    gcm_seal_kernel_fused, static_argnames=("open_direction", "aad_bytes"))
+
+
+def _aad_prep(key, aad, n_ct_blocks):
+    aad = bytes(aad or b"")
+    if not aad:
+        return None, 0, None
+    na = -(-len(aad) // BLOCK)
+    blocks = np.zeros((na, BLOCK), np.uint8)
+    blocks.reshape(-1)[: len(aad)] = np.frombuffer(aad, np.uint8)
+    return jnp.asarray(blocks), len(aad), _aad_shift_t(key, n_ct_blocks)
 
 
 def ctr_bulk_kernel(kp, ctr0, pt_blocks):
@@ -264,7 +309,7 @@ def ctr_bulk(key, iv, data) -> bytes:
     return bytes(np.asarray(out).reshape(-1))
 
 
-def gcm_open(key, nonce, ct_and_tag) -> bytes:
+def gcm_open(key, nonce, ct_and_tag, aad: bytes = b"") -> bytes:
     """Bulk open (verify-then-return-plaintext); constraints as gcm_seal.
     Raises AuthenticationError on tag mismatch."""
     from ..errors import AuthenticationError
@@ -286,19 +331,22 @@ def gcm_open(key, nonce, ct_and_tag) -> bytes:
         w = -(-(n + 2) // 32)
         w += (-w) % SEAL_TILE_W
         adj = _trail_adjust_t(key, 32 * w - n - 2)
-        pt, got = _gcm_open_fused_jit(kp, tables, adj, jnp.asarray(j0),
-                                      jnp.asarray(blocks))
+        ab, alen, ashift = _aad_prep(key, aad, n)
+        pt, got = _gcm_seal_fused_jit(kp, tables, adj, jnp.asarray(j0),
+                                      jnp.asarray(blocks),
+                                      open_direction=True, aad_blocks=ab,
+                                      aad_bytes=alen, aad_shift_t=ashift)
         if bytes(np.asarray(got)) != tag:
             raise AuthenticationError("GCM tag mismatch")
         return bytes(np.asarray(pt).reshape(-1))
     from .gcm import gcm_decrypt
 
-    return gcm_decrypt(key, bytes(nonce), b"", data)
+    return gcm_decrypt(key, bytes(nonce), aad or b"", data)
 
 
-def gcm_seal(key, nonce, plaintext) -> bytes:
-    """Bulk seal: ct || 16-byte tag.  12-byte nonce, no AAD, whole-block
-    plaintext (the general API handles everything else)."""
+def gcm_seal(key, nonce, plaintext, aad: bytes = b"") -> bytes:
+    """Bulk seal: ct || 16-byte tag.  12-byte nonce, whole-block
+    plaintext, optional AAD (the general API handles ragged cases)."""
     key = bytes(key)
     kp, tables = gcm_key_setup(key)
     nonce = np.frombuffer(bytes(nonce), np.uint8)
@@ -315,8 +363,14 @@ def gcm_seal(key, nonce, plaintext) -> bytes:
         w += (-w) % SEAL_TILE_W
         z = 32 * w - n - 2
         adj = _trail_adjust_t(key, z)
+        ab, alen, ashift = _aad_prep(key, aad, n)
         ct, tag = _gcm_seal_fused_jit(kp, tables, adj, jnp.asarray(j0),
-                                      jnp.asarray(pt))
+                                      jnp.asarray(pt), aad_blocks=ab,
+                                      aad_bytes=alen, aad_shift_t=ashift)
     else:
+        if aad:
+            from .gcm import gcm_encrypt
+
+            return gcm_encrypt(key, bytes(nonce), aad, plaintext)
         ct, tag = _gcm_seal_jit(kp, tables, jnp.asarray(j0), jnp.asarray(pt))
     return bytes(np.asarray(ct).reshape(-1)) + bytes(np.asarray(tag))
