@@ -21,8 +21,6 @@ Pallas kernel (ops/pallas_cipher.py) and in plain jnp.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,7 +6,7 @@ also cover.
 """
 from __future__ import annotations
 
-from ..errors import DataLengthError, DecryptionError, EncryptionError
+from ..errors import DecryptionError, EncryptionError
 from .alphabet import ALPHABETS, Alphabet, resolve_alphabet
 from .ff1 import ff1_cipher
 from .ff3 import ff3_cipher

@@ -8,7 +8,6 @@ tails never affect the valid prefix.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..core.cipher import encrypt_blocks
 

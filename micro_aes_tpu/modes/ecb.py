@@ -4,8 +4,6 @@ Embarrassingly parallel: the whole message is one batched device call.
 """
 from __future__ import annotations
 
-import numpy as np
-
 from ..errors import DecryptionError
 from .common import (
     BLOCK,

@@ -11,8 +11,6 @@ bulk path (each shard computes a partial sum, combined with one psum).
 """
 from __future__ import annotations
 
-import numpy as np
-
 from .common import BLOCK, enc_block, to_u8
 
 P1305 = (1 << 130) - 5

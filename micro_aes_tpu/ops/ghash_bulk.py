@@ -15,13 +15,11 @@ count from the end), so fronts pad freely to tile boundaries.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .gf128 import bits_to_blocks, blocks_to_bits, mat_mul_gf2
+from .gf128 import bits_to_blocks, blocks_to_bits
 
 CHUNK = 32     # blocks per level-1 chunk == bits per bitslice word
 CHUNK2 = 32    # chunks per level-2 group
