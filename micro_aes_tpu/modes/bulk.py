@@ -42,20 +42,9 @@ def _ctr_keystream_batch(rks, bases, nblocks: int):
     return jax.vmap(encrypt_blocks)(rks, ctrs)
 
 
-def gcm_encrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
-                      pts: list[bytes], tag_len: int = 16) -> list[bytes]:
-    """AES-GCM over B independent messages; a fixed number of batched
-    device dispatches regardless of B.  Returns [ct || tag] per message."""
-    B = len(keys)
-    rks = jnp.asarray(stack_round_keys(keys))
-    aads = [to_u8(a) for a in aads]
-    pts = [to_u8(p) for p in pts]
-    nonces = [to_u8(n) for n in nonces]
-
-    # H = E_K(0) for every key
-    h = np.asarray(_enc_vmap(rks, jnp.zeros((B, 1, BLOCK), jnp.uint8)))[:, 0]
-
-    # J0: 12-byte fast path on host; GHASH path batched for the rest
+def _batch_j0(rks, nonces: list[np.ndarray], h: np.ndarray) -> np.ndarray:
+    """Per-message J0: 12-byte fast path on host, GHASH path batched."""
+    B = len(nonces)
     j0 = np.zeros((B, BLOCK), np.uint8)
     long_idx = [i for i, n in enumerate(nonces) if len(n) != 12]
     for i, n in enumerate(nonces):
@@ -78,6 +67,45 @@ def gcm_encrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
             jnp.asarray(ivb), jnp.asarray(nv),
         )
         j0[long_idx] = np.asarray(g)
+    return j0
+
+
+def _batch_tag_ghash(h: np.ndarray, aads: list[np.ndarray],
+                     cts: list[np.ndarray], nks: int) -> np.ndarray:
+    """GHASH(AAD, CT, len-block) for every message, batched."""
+    B = len(aads)
+    maad = max((len(a) + BLOCK - 1) // BLOCK for a in aads) if aads else 0
+    m = maad + nks + 1
+    gb = np.zeros((B, m, BLOCK), np.uint8)
+    nv = np.zeros(B, np.int32)
+    for i in range(B):
+        a, c = aads[i], cts[i]
+        na = (len(a) + BLOCK - 1) // BLOCK
+        nc = (len(c) + BLOCK - 1) // BLOCK
+        gb[i, :na].reshape(-1)[: len(a)] = a
+        gb[i, na: na + nc].reshape(-1)[: len(c)] = c
+        gb[i, na + nc, :8] = np.frombuffer((len(a) * 8).to_bytes(8, "big"), np.uint8)
+        gb[i, na + nc, 8:] = np.frombuffer((len(c) * 8).to_bytes(8, "big"), np.uint8)
+        nv[i] = na + nc + 1
+    return np.asarray(
+        ghash_fold_batch(jnp.asarray(h), jnp.zeros((B, BLOCK), jnp.uint8),
+                         jnp.asarray(gb), jnp.asarray(nv))
+    )
+
+
+def gcm_encrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
+                      pts: list[bytes], tag_len: int = 16) -> list[bytes]:
+    """AES-GCM over B independent messages; a fixed number of batched
+    device dispatches regardless of B.  Returns [ct || tag] per message."""
+    B = len(keys)
+    rks = jnp.asarray(stack_round_keys(keys))
+    aads = [to_u8(a) for a in aads]
+    pts = [to_u8(p) for p in pts]
+    nonces = [to_u8(n) for n in nonces]
+
+    # H = E_K(0) for every key
+    h = np.asarray(_enc_vmap(rks, jnp.zeros((B, 1, BLOCK), jnp.uint8)))[:, 0]
+    j0 = _batch_j0(rks, nonces, h)
 
     # CTR body (counter = J0 + 1 + i) and E(J0) in one keystream batch:
     # prepend the J0 block itself so its encryption rides along.
@@ -89,27 +117,45 @@ def gcm_encrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
 
     cts = [bytes(p ^ ks[i].reshape(-1)[: len(p)]) for i, p in enumerate(pts)]
 
-    # GHASH(AAD, CT, lens) batched
-    maad = max((len(a) + BLOCK - 1) // BLOCK for a in aads) if aads else 0
-    mct = nks
-    m = maad + mct + 1
-    gb = np.zeros((B, m, BLOCK), np.uint8)
-    nv = np.zeros(B, np.int32)
-    for i in range(B):
-        a, c = aads[i], np.frombuffer(cts[i], np.uint8)
-        na = (len(a) + BLOCK - 1) // BLOCK
-        nc = (len(c) + BLOCK - 1) // BLOCK
-        gb[i, :na].reshape(-1)[: len(a)] = a
-        gb[i, na: na + nc].reshape(-1)[: len(c)] = c
-        gb[i, na + nc, :8] = np.frombuffer((len(a) * 8).to_bytes(8, "big"), np.uint8)
-        gb[i, na + nc, 8:] = np.frombuffer((len(c) * 8).to_bytes(8, "big"), np.uint8)
-        nv[i] = na + nc + 1
-    g = np.asarray(
-        ghash_fold_batch(jnp.asarray(h), jnp.zeros((B, BLOCK), jnp.uint8),
-                         jnp.asarray(gb), jnp.asarray(nv))
-    )
+    g = _batch_tag_ghash(h, aads, [np.frombuffer(c, np.uint8) for c in cts], nks)
     tags = ek_j0 ^ g
     return [cts[i] + bytes(tags[i][:tag_len]) for i in range(B)]
+
+
+def gcm_decrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
+                      ct_tags: list[bytes], tag_len: int = 16,
+                      ) -> list[bytes | None]:
+    """Batched GCM open with the reference's verify-BEFORE-decrypt
+    ordering (micro_aes.c:1204-1209): the expected tag is computed from
+    the ciphertext first; messages whose tag fails come back as None and
+    are never decrypted (their keystream lane is discarded)."""
+    from ..utils.bytesio import verify_tag
+
+    B = len(keys)
+    rks = jnp.asarray(stack_round_keys(keys))
+    aads = [to_u8(a) for a in aads]
+    nonces = [to_u8(n) for n in nonces]
+    data = [to_u8(c) for c in ct_tags]
+    cts = [d[: len(d) - tag_len] for d in data]
+    tags = [bytes(d[len(d) - tag_len:]) for d in data]
+
+    h = np.asarray(_enc_vmap(rks, jnp.zeros((B, 1, BLOCK), jnp.uint8)))[:, 0]
+    j0 = _batch_j0(rks, nonces, h)
+
+    nks = max(((len(c) + BLOCK - 1) // BLOCK for c in cts), default=0)
+    ctrs = jax.vmap(lambda b: counter_blocks(b, nks + 1, 0, "be"))(jnp.asarray(j0))
+    ks_all = np.asarray(_enc_vmap(rks, ctrs))
+    ek_j0, ks = ks_all[:, 0], ks_all[:, 1:]
+
+    g = _batch_tag_ghash(h, aads, cts, nks)
+    expects = ek_j0 ^ g
+    out: list[bytes | None] = []
+    for i, c in enumerate(cts):
+        if not verify_tag(expects[i][:tag_len], tags[i]):
+            out.append(None)
+            continue
+        out.append(bytes(c ^ ks[i].reshape(-1)[: len(c)]))
+    return out
 
 
 def cmac_batch(keys: list[bytes], msgs: list[bytes]) -> list[bytes]:

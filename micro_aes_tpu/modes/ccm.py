@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..errors import AuthenticationError
+from ..utils.bytesio import verify_tag
 from .common import (
     BLOCK,
     cbcmac_np,
@@ -97,6 +98,6 @@ def ccm_decrypt(key, nonce, aad, ct_and_tag, nonce_len: int = CCM_NONCE_LEN,
     iv0 = _iv0(nonce)
     pt = to_u8(ctr_xcrypt(key, iv0, "ccm_gcm", ct))
     expect = _ccm_tag(key, iv0, to_u8(aad), pt, tag_len)[:tag_len]
-    if not np.array_equal(expect, tag):
+    if not verify_tag(expect, tag):
         raise AuthenticationError("CCM tag mismatch")
     return bytes(pt)

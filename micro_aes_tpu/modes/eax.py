@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..errors import AuthenticationError
+from ..utils.bytesio import verify_tag
 from .common import BLOCK, cmac_digest, cmac_subkeys, ctr_xcrypt, enc_block, to_u8
 
 EAX_TAG_LEN = 16
@@ -45,7 +46,7 @@ def eax_decrypt(key, nonce, aad, ct_and_tag, tag_len: int = EAX_TAG_LEN) -> byte
     ct, tag = data[: len(data) - tag_len], data[len(data) - tag_len:]
     n_mac = _omac(key, 0, nonce)
     expect = (n_mac ^ _omac(key, 1, aad) ^ _omac(key, 2, ct))[:tag_len]
-    if not np.array_equal(expect, tag):
+    if not verify_tag(expect, tag):
         raise AuthenticationError("EAX tag mismatch")
     return ctr_xcrypt(key, n_mac, "ctr", ct)
 
@@ -87,7 +88,7 @@ def eaxp_decrypt(key, nonce_data, ct_and_tag) -> bytes:
     ct, tag = data[: len(data) - 4], data[len(data) - 4:]
     c = _omac_p(key, 2, ct)
     n = _omac_p(key, 0, nonce_data)
-    if not np.array_equal((c[12:16] ^ n[12:16]), tag):
+    if not verify_tag(c[12:16] ^ n[12:16], tag):
         raise AuthenticationError("EAX' mac mismatch")
     base = n.copy()
     base[12] &= 0x7F

@@ -16,7 +16,7 @@ import numpy as np
 from ..errors import AuthenticationError
 from ..ops.gf128 import ghash_matrix
 from ..ops.mac import ghash_fold
-from ..utils.bytesio import block_bucket
+from ..utils.bytesio import block_bucket, verify_tag
 from .common import (
     BLOCK,
     ctr_xcrypt,
@@ -89,6 +89,6 @@ def gcm_decrypt(key, nonce, aad, ct_and_tag, tag_len: int = GCM_TAG_LEN) -> byte
     iv = _gcm_iv(key, nonce)
     g = _ghash(key, aad, ct, len(to_u8(aad)), len(ct))
     expect = (enc_block(key, iv) ^ g)[:tag_len]
-    if not np.array_equal(expect, tag):
+    if not verify_tag(expect, tag):
         raise AuthenticationError("GCM tag mismatch")
     return ctr_xcrypt(key, iv, "ccm_gcm", ct)

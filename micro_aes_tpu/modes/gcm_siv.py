@@ -11,10 +11,10 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from ..errors import AuthenticationError
+from ..errors import AuthenticationError, DataLengthError
 from ..ops.gf128 import polyval_matrix
 from ..ops.mac import ghash_fold
-from ..utils.bytesio import block_bucket
+from ..utils.bytesio import block_bucket, verify_tag
 from .common import BLOCK, ctr_xcrypt, enc_blocks_np, to_u8, xmac_blocks
 
 SIVGCM_NONCE_LEN = 12
@@ -70,7 +70,9 @@ def _tag(msg_key: bytes, nonce: np.ndarray, pv: np.ndarray) -> np.ndarray:
 def gcm_siv_encrypt(key, nonce, aad, plaintext) -> bytes:
     """GCM_SIV_encrypt (micro_aes.c:1470-1483): returns ct || tag."""
     key = bytes(key)
-    nonce = to_u8(nonce)[:SIVGCM_NONCE_LEN]
+    nonce = to_u8(nonce)
+    if len(nonce) != SIVGCM_NONCE_LEN:  # RFC 8452 fixes the nonce at 96 bits
+        raise DataLengthError("GCM-SIV nonce must be exactly 12 bytes")
     auth_key, msg_key = _derive_keys(key, bytes(nonce))
     pv = _polyval(auth_key, aad, plaintext)
     tag = _tag(msg_key, nonce, pv)
@@ -81,13 +83,15 @@ def gcm_siv_encrypt(key, nonce, aad, plaintext) -> bytes:
 def gcm_siv_decrypt(key, nonce, aad, ct_and_tag) -> bytes:
     """GCM_SIV_decrypt (micro_aes.c:1496-1515): decrypt-then-verify."""
     key = bytes(key)
-    nonce = to_u8(nonce)[:SIVGCM_NONCE_LEN]
+    nonce = to_u8(nonce)
+    if len(nonce) != SIVGCM_NONCE_LEN:
+        raise DataLengthError("GCM-SIV nonce must be exactly 12 bytes")
     data = to_u8(ct_and_tag)
     ct, tag = data[: len(data) - SIVGCM_TAG_LEN], data[len(data) - SIVGCM_TAG_LEN:]
     auth_key, msg_key = _derive_keys(key, bytes(nonce))
     pt = ctr_xcrypt(msg_key, tag, "gcm_siv", ct)
     pv = _polyval(auth_key, aad, pt)
     expect = _tag(msg_key, nonce, pv)
-    if not np.array_equal(expect, tag):
+    if not verify_tag(expect, tag):
         raise AuthenticationError("GCM-SIV tag mismatch")
     return pt

@@ -13,6 +13,7 @@ import numpy as np
 
 from ..core.cipher import encrypt_blocks, decrypt_blocks
 from ..errors import AuthenticationError, DataLengthError
+from ..utils.bytesio import verify_tag
 from .common import round_keys, to_u8
 
 HB = 8  # semi-block
@@ -84,6 +85,6 @@ def key_unwrap(kek, wrapped) -> bytes:
     a0 = jnp.asarray(wrapped[:HB])
     r0 = jnp.asarray(wrapped[HB:].reshape(n - 1, HB))
     a, r = _unwrap_scan(round_keys(kek), a0, r0, n - 1)
-    if not np.all(np.asarray(a) == 0xA6):
+    if not verify_tag(np.full(HB, 0xA6, np.uint8), np.asarray(a)):
         raise AuthenticationError("KW integrity check failed")
     return bytes(np.asarray(r).reshape(-1))

@@ -13,7 +13,8 @@ import functools
 
 import numpy as np
 
-from ..errors import AuthenticationError
+from ..errors import AuthenticationError, DataLengthError
+from ..utils.bytesio import verify_tag
 from ..ops.mac import double_be_np
 from .common import BLOCK, dec_blocks_np, enc_blocks_np, enc_block, to_u8
 
@@ -52,6 +53,8 @@ def _offsets(ls: np.ndarray, delta0: np.ndarray, n: int) -> np.ndarray:
 
 def _offset0(key: bytes, nonce: np.ndarray, tag_len: int) -> np.ndarray:
     """Ktop / stretch / Δ_0 (micro_aes.c:1703-1719, per RFC 7253 §4.2)."""
+    if not 1 <= len(nonce) <= 15:  # RFC 7253 §4.2: 1..120-bit nonce
+        raise DataLengthError("OCB nonce must be 1..15 bytes")
     kt = np.zeros(BLOCK, np.uint8)
     kt[BLOCK - len(nonce):] = nonce
     kt[0] |= (tag_len << 4) & 0xFF
@@ -138,6 +141,6 @@ def ocb_decrypt(key, nonce, aad, ct_and_tag, tag_len: int = OCB_TAG_LEN) -> byte
     data = to_u8(ct_and_tag)
     ct, tag = data[: len(data) - tag_len], data[len(data) - tag_len:]
     pt, full_tag = _ocb_core(key, nonce, aad, ct, False, tag_len)
-    if not np.array_equal(full_tag[:tag_len], tag):
+    if not verify_tag(full_tag[:tag_len], tag):
         raise AuthenticationError("OCB tag mismatch")
     return pt

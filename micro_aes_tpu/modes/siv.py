@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..errors import AuthenticationError
+from ..utils.bytesio import verify_tag
 from ..ops.mac import double_be_np
 from .common import BLOCK, cmac_digest, ctr_xcrypt, to_u8
 
@@ -47,6 +48,6 @@ def siv_decrypt(keys, iv, aad, ciphertext) -> bytes:
     iv = to_u8(iv)[:BLOCK]
     pt = ctr_xcrypt(k2, iv, "siv", ciphertext)
     expect = _s2v(k1, aad, pt)
-    if not np.array_equal(expect, iv):
+    if not verify_tag(expect, iv):
         raise AuthenticationError("SIV verification failed")
     return pt

@@ -29,7 +29,7 @@ from ..ops.ghash_bulk import (
     _gf2_matmul_i8,
     ghash_power_tables,
 )
-from ..utils.bytesio import BLOCK
+from ..utils.bytesio import BLOCK, verify_tag
 from .gcm_siv import _derive_keys
 
 TILE = 1024  # polyval tile in blocks (chunk 32 x chunk2 32)
@@ -144,6 +144,6 @@ def gcm_siv_open(key, nonce, ct_and_tag) -> bytes:
     tag_words = jnp.asarray(base.copy().view(np.uint32))
     pt = np.asarray(_siv_seal_jit(kp, tables, tag_words, jnp.asarray(blocks)))
     expect = _tag(key, nonce, pt, pt.shape[0])
-    if not np.array_equal(expect, tag):
+    if not verify_tag(expect, tag):
         raise AuthenticationError("GCM-SIV tag mismatch")
     return bytes(pt.reshape(-1))

@@ -9,11 +9,16 @@ outside any record become inherited context.
 """
 from __future__ import annotations
 
+import os
 import re
 from pathlib import Path
 from typing import Iterator
 
-REFERENCE_VECTORS = Path("/root/reference/testvectors")
+# override with MICRO_AES_TPU_VECTORS to point the harness at a different
+# copy of the reference vector corpus (makes the installed console script
+# usable outside this environment)
+REFERENCE_VECTORS = Path(
+    os.environ.get("MICRO_AES_TPU_VECTORS", "/root/reference/testvectors"))
 
 
 def parse_records(path, trigger: str, sep: str = "=") -> Iterator[dict]:

@@ -5,9 +5,29 @@ block arrays.  These helpers are the single boundary between the two.
 """
 from __future__ import annotations
 
+import hmac
+
 import numpy as np
 
 BLOCK = 16
+
+
+def verify_tag(expect, got) -> bool:
+    """Constant-time tag/IV/ICV comparison (reference: the memcmp_s helper
+    under INCREASE_SECURITY, micro_aes.c:369-384).
+
+    Both sides are reduced to host bytes first (any device/array work is
+    over by then), and the comparison itself is `hmac.compare_digest`,
+    which runs in time independent of where the first mismatch occurs —
+    no tag-prefix timing oracle.  Length mismatch returns False.
+    """
+    eb = bytes(np.asarray(expect, dtype=np.uint8).reshape(-1)) \
+        if not isinstance(expect, (bytes, bytearray)) else bytes(expect)
+    gb = bytes(np.asarray(got, dtype=np.uint8).reshape(-1)) \
+        if not isinstance(got, (bytes, bytearray)) else bytes(got)
+    if len(eb) != len(gb):
+        return False
+    return hmac.compare_digest(eb, gb)
 
 
 def to_u8(data) -> np.ndarray:

@@ -1,9 +1,10 @@
 """CAVP GCM conformance: GcmEncryptExtIV{128,192,256}.rsp — all cases,
-batched (7875 vectors per file, one handful of device dispatches)."""
+both directions, batched (7875 vectors per file, a handful of device
+dispatches each)."""
 import numpy as np
 import pytest
 
-from micro_aes_tpu.modes.bulk import gcm_encrypt_batch
+from micro_aes_tpu.modes.bulk import gcm_decrypt_batch, gcm_encrypt_batch
 from micro_aes_tpu.modes.gcm import gcm_decrypt, gcm_encrypt
 from micro_aes_tpu.testing import rsp
 
@@ -26,8 +27,46 @@ def test_gcm_cavp_encrypt_all(keylen):
     assert bad == 0, f"{bad}/{len(recs)} GCM-{keylen} vectors failed"
 
 
-def test_gcm_cavp_decrypt_sample():
-    recs = rsp.load_gcm(128)[::250]  # decrypt path, sampled
+@pytest.mark.parametrize("keylen", [128, 192, 256])
+def test_gcm_cavp_decrypt_all(keylen):
+    """Full decrypt corpus through the batched verify-before-decrypt open
+    (VERDICT r1 item 8): every vector, grouped by tag length."""
+    recs = rsp.load_gcm(keylen)
+    assert len(recs) == 7875
+    by_taglen: dict[int, list] = {}
+    for r in recs:
+        by_taglen.setdefault(int(r["Taglen"]) // 8, []).append(r)
+    bad = 0
+    for taglen, group in sorted(by_taglen.items()):
+        outs = gcm_decrypt_batch(
+            [rsp.hexval(r, "Key") for r in group],
+            [rsp.hexval(r, "IV") for r in group],
+            [rsp.hexval(r, "AAD") for r in group],
+            [rsp.hexval(r, "CT") + rsp.hexval(r, "Tag") for r in group],
+            tag_len=taglen)
+        for r, pt in zip(group, outs):
+            if pt is None or pt != rsp.hexval(r, "PT"):
+                bad += 1
+    assert bad == 0, f"{bad}/{len(recs)} GCM-{keylen} decrypt vectors failed"
+
+
+def test_gcm_decrypt_batch_rejects_tampered():
+    recs = rsp.load_gcm(128)[100:104]
+    taglens = [int(r["Taglen"]) // 8 for r in recs]
+    assert len(set(taglens)) == 1
+    blobs = [rsp.hexval(r, "CT") + rsp.hexval(r, "Tag") for r in recs]
+    blobs[2] = blobs[2][:-1] + bytes([blobs[2][-1] ^ 1])  # tamper one tag
+    outs = gcm_decrypt_batch([rsp.hexval(r, "Key") for r in recs],
+                             [rsp.hexval(r, "IV") for r in recs],
+                             [rsp.hexval(r, "AAD") for r in recs],
+                             blobs, tag_len=taglens[0])
+    assert outs[2] is None
+    for i in (0, 1, 3):
+        assert outs[i] == rsp.hexval(recs[i], "PT")
+
+
+def test_gcm_cavp_decrypt_singles_sample():
+    recs = rsp.load_gcm(128)[::500]  # per-message host path, sampled
     for r in recs:
         taglen = int(r["Taglen"]) // 8
         ct_tag = rsp.hexval(r, "CT") + rsp.hexval(r, "Tag")
