@@ -126,24 +126,37 @@ def _trail_adjust_t(key: bytes, z: int):
     return jnp.asarray(gf2_matinv_np(mz).T.astype(np.int8))
 
 
-def fused_seal_body(kp, tables, j0, pt_blocks,
-                    open_direction: bool = False, start=-1):
-    """Shared fused-kernel body: returns (out_blocks, ek_j0, acc_bits)
+def seal_stream_words(n_blocks: int, chunk2: int = 32) -> int:
+    """Static stream width W (rows of the u32[W, 128] w-major stream) for
+    a message/shard of n blocks: data at positions 2..n+2, rounded up to
+    lcm(kernel tile, chunk2) words."""
+    import math
+
+    from ..ops.pallas_seal import seal_word_align
+
+    align = math.lcm(seal_word_align(), chunk2)
+    w = -(-(n_blocks + 2) // 32)
+    return w + (-w) % align
+
+
+def fused_seal_stream(kp, tables, j0, pt_stream, n: int,
+                      open_direction: bool = False, start=-1):
+    """Fused-kernel core, stream form: pt_stream is the w-major
+    uint32[W, 128] stream (a pure host-side numpy view of the byte
+    stream: row w lane 4j+k = LE word k of block 32w+j) with the message
+    at positions 2..n+2.  Returns (out_stream, ek_j0_block, acc_bits)
     where acc_bits uint8[128] is the local GHASH partial *before* the
     trailing-pad compensation.  `start` (traced int32) is the counter
     offset of stream position 0 relative to J0 (-1 for a whole message;
-    sp_idx*L - 1 for a block shard); must keep generation 32-aligned."""
-    import math
+    sp_idx*L - 1 for a block shard); must keep generation 32-aligned.
 
-    from ..ops.ghash_bulk import _combine_logdepth, _gf2_matmul_i8
-    from ..ops.pallas_seal import seal_fused_auto, seal_word_align
+    Keeping the device end-to-end in stream form matters: an [N,16] u8
+    block array is lane-padded 8x on TPU, so every relayout touching it
+    costs more than the cipher itself."""
+    from ..ops.ghash_bulk import _gf2_matmul_i8, combine_levels
+    from ..ops.pallas_seal import seal_fused_auto
 
-    n = pt_blocks.shape[0]
-    chunk2_ = tables[1].shape[0] // 128
-    align = math.lcm(seal_word_align(), chunk2_)
-    w = -(-(n + 2) // 32)
-    w += (-w) % align
-
+    w = pt_stream.shape[0]
     b32 = j0.astype(jnp.uint32)
     j0_lo = (b32[12] << 24) | (b32[13] << 16) | (b32[14] << 8) | b32[15]
     j0_hi = (b32[9] << 16) | (b32[10] << 8) | b32[11]
@@ -168,28 +181,40 @@ def fused_seal_body(kp, tables, j0, pt_blocks,
         ghm |= (pv[j::32].astype(np.uint32) << j)
     ghmask = jnp.asarray(ghm[None, :])
 
-    ptw = blocks_to_words(pt_blocks)
-    ptw = jnp.pad(ptw, ((0, 0), (2, 32 * w - n - 2)))
-    ptw = ptw.reshape(4, w, 32).transpose(0, 2, 1)  # [4,32,W] j-major
-
     # GHASH level 1 runs INSIDE the kernel (one MXU contraction against
     # W1^T); only the [128, W] partials come back — the 8x-message bit
     # tensor of the previous design never exists in HBM.
-    w1, w2, m_outer, _ = tables
+    w1, w2 = tables[0], tables[1]
     kp_flat = kp.reshape(-1, 1)
     ctw, s1t = seal_fused_auto(kp_flat, j0c, lohi, ghmask,
-                               jnp.transpose(w1).astype(jnp.int8), ptw,
+                               jnp.transpose(w1).astype(jnp.int8), pt_stream,
                                bits_from_input=open_direction)
 
-    ctw_flat = ctw.transpose(0, 2, 1).reshape(4, 32 * w)
-    ek_j0 = words_to_blocks(ctw_flat[:, 1:2])[0]
-    ct = words_to_blocks(ctw_flat[:, 2: n + 2])
+    ek_j0 = jax.lax.bitcast_convert_type(ctw[0, 4:8], jnp.uint8).reshape(16)
 
     chunk2 = w2.shape[0] // 128
     s2 = _gf2_matmul_i8(
         jnp.transpose(s1t).reshape(w // chunk2, chunk2 * 128), w2)
-    acc = _combine_logdepth(s2.astype(jnp.int8), m_outer)
-    return ct, ek_j0, acc
+    acc = combine_levels(s2.astype(jnp.int8), tables)
+    return ctw, ek_j0, acc
+
+
+def fused_seal_body(kp, tables, j0, pt_blocks,
+                    open_direction: bool = False, start=-1):
+    """Blocks-form wrapper over fused_seal_stream (used by the sharded
+    engine, whose public arrays are [B, N, 16] blocks): relayouts to and
+    from the stream happen on-device here — convenient but slower than
+    the stream API; bulk single-chip paths use fused_seal_stream with
+    host-side views instead."""
+    from ..ops.pallas_seal import bytes_to_stream, stream_to_bytes
+
+    n = pt_blocks.shape[0]
+    chunk2 = tables[1].shape[0] // 128
+    w = seal_stream_words(n, chunk2)
+    ptw = bytes_to_stream(pt_blocks, 2, w)
+    ctw, ek_j0, acc = fused_seal_stream(kp, tables, j0, ptw, n,
+                                        open_direction, start)
+    return stream_to_bytes(ctw, 2, n), ek_j0, acc
 
 
 def fused_trailing_pad(n_blocks: int, chunk2: int = 32) -> int:
@@ -217,6 +242,41 @@ def _aad_shift_t(key: bytes, n_ct_blocks: int):
         mat_power_gf2_np(np.asarray(tables[3]), n_ct_blocks).T.astype(np.int8))
 
 
+def _aad_fold(tables, acc, aad_blocks, aad_shift_t):
+    """Fold the AAD GHASH partial in front of the ciphertext partial."""
+    from ..ops.gf128 import blocks_to_bits
+    from ..ops.ghash_bulk import _gf2_matmul_i8, ghash_from_bits
+
+    chunk2 = tables[1].shape[0] // 128
+    tile = 32 * chunk2
+    abits = blocks_to_bits(aad_blocks).astype(jnp.int8)[:, _STD2PLANE]
+    apad = (-aad_blocks.shape[0]) % tile
+    if apad:
+        abits = jnp.concatenate(
+            [jnp.zeros((apad, 128), jnp.int8), abits], axis=0)
+    g_aad = ghash_from_bits(tables, abits)
+    return acc ^ _gf2_matmul_i8(g_aad.astype(jnp.int8), aad_shift_t)
+
+
+def gcm_seal_stream_fused(kp, tables, trail_adj_t, j0, pt_stream, n: int,
+                          open_direction: bool = False,
+                          aad_blocks=None, aad_bytes: int = 0,
+                          aad_shift_t=None):
+    """Stream-form fused seal/open: stream in, stream out (the bulk API
+    views bytes as the stream host-side, so the device never touches a
+    lane-padded [N,16] block array).  Returns (out_stream, tag)."""
+    from ..ops.ghash_bulk import _gf2_matmul_i8
+
+    ctw, ek_j0, acc = fused_seal_stream(kp, tables, j0, pt_stream, n,
+                                        open_direction)
+    acc = _gf2_matmul_i8(acc.astype(jnp.int8), trail_adj_t)
+    if aad_blocks is not None and aad_blocks.shape[0]:
+        acc = _aad_fold(tables, acc, aad_blocks, aad_shift_t)
+    acc = acc.astype(jnp.uint8)
+    tag = ek_j0 ^ ghash_finalize(tables, acc, _len_block(n, aad_bytes))
+    return ctw, tag
+
+
 def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks,
                           open_direction: bool = False,
                           aad_blocks=None, aad_bytes: int = 0,
@@ -224,23 +284,14 @@ def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks,
     """v3 fused seal/open (whole message): body + compensation + tag.
     aad_blocks uint8[Na,16] (zero-padded tail) folds in ahead of the
     ciphertext via one cached matrix power (aad_shift_t)."""
-    from ..ops.gf128 import blocks_to_bits
-    from ..ops.ghash_bulk import _gf2_matmul_i8, ghash_from_bits
+    from ..ops.ghash_bulk import _gf2_matmul_i8
 
     n = pt_blocks.shape[0]
     ct, ek_j0, acc = fused_seal_body(kp, tables, j0, pt_blocks,
                                      open_direction)
     acc = _gf2_matmul_i8(acc.astype(jnp.int8), trail_adj_t)
     if aad_blocks is not None and aad_blocks.shape[0]:
-        chunk2 = tables[1].shape[0] // 128
-        tile = 32 * chunk2
-        abits = blocks_to_bits(aad_blocks).astype(jnp.int8)[:, _STD2PLANE]
-        apad = (-aad_blocks.shape[0]) % tile
-        if apad:
-            abits = jnp.concatenate(
-                [jnp.zeros((apad, 128), jnp.int8), abits], axis=0)
-        g_aad = ghash_from_bits(tables, abits)
-        acc = acc ^ _gf2_matmul_i8(g_aad.astype(jnp.int8), aad_shift_t)
+        acc = _aad_fold(tables, acc, aad_blocks, aad_shift_t)
     acc = acc.astype(jnp.uint8)
     tag = ek_j0 ^ ghash_finalize(tables, acc, _len_block(n, aad_bytes))
     return ct, tag
@@ -248,6 +299,24 @@ def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks,
 
 _gcm_seal_fused_jit = jax.jit(
     gcm_seal_kernel_fused, static_argnames=("open_direction", "aad_bytes"))
+_gcm_seal_stream_jit = jax.jit(
+    gcm_seal_stream_fused,
+    static_argnames=("n", "open_direction", "aad_bytes"))
+
+
+def host_stream(data: bytes, front_pos: int, w: int) -> np.ndarray:
+    """Host-side bytes -> w-major uint32[W, 128] stream (one memcpy into
+    the zero-padded buffer; the u32 view itself is free on LE hosts)."""
+    words = np.frombuffer(data, np.uint32)
+    out = np.zeros(w * 128, np.uint32)
+    out[4 * front_pos: 4 * front_pos + len(words)] = words
+    return out.reshape(w, 128)
+
+
+def host_unstream(stream: np.ndarray, front_pos: int, nbytes: int) -> bytes:
+    """Host-side stream -> bytes from position front_pos (one memcpy)."""
+    flat = np.ascontiguousarray(stream, np.uint32).reshape(-1)
+    return flat[4 * front_pos: 4 * front_pos + nbytes // 4].tobytes()
 
 
 def _aad_prep(key, aad, n_ct_blocks):
@@ -260,16 +329,14 @@ def _aad_prep(key, aad, n_ct_blocks):
     return jnp.asarray(blocks), len(aad), _aad_shift_t(key, n_ct_blocks)
 
 
-def ctr_bulk_kernel(kp, ctr0, pt_blocks):
-    """Fused bulk CTR (CTR_NA semantics): ctr0 = nonce||0^3||0x01 block.
-    Data occupies stream positions 1..n (counter value = position, since
-    CTR starts at 1 and generation starts 32-aligned at 0)."""
-    from ..ops.pallas_seal import ctr_fused, seal_word_align
+def ctr_bulk_stream(kp, ctr0, pt_stream):
+    """Fused bulk CTR (CTR_NA semantics), stream form: ctr0 =
+    nonce||0^3||0x01 block; data occupies stream positions 1.. (counter
+    value = position, since CTR starts at 1 and generation starts
+    32-aligned at 0)."""
+    from ..ops.pallas_seal import ctr_fused, ctr_fused_jnp
 
-    n = pt_blocks.shape[0]
-    w = -(-(n + 1) // 32)
-    w += (-w) % seal_word_align()
-
+    w = pt_stream.shape[0]
     b32 = ctr0.astype(jnp.uint32)
     j0_lo = (b32[12] << 24) | (b32[13] << 16) | (b32[14] << 8) | b32[15]
     j0_hi = (b32[9] << 16) | (b32[10] << 8) | b32[11]
@@ -282,37 +349,33 @@ def ctr_bulk_kernel(kp, ctr0, pt_blocks):
 
     bits_j0 = (ctr0[:, None] >> np.arange(8)) & 1
     j0c = (bits_j0.T.reshape(128, 1).astype(jnp.uint32) * jnp.uint32(0xFFFFFFFF))
-
-    ptw = blocks_to_words(pt_blocks)
-    ptw = jnp.pad(ptw, ((0, 0), (1, 32 * w - n - 1)))
-    ptw = ptw.reshape(4, w, 32).transpose(0, 2, 1)
-
-    ctw = ctr_fused(kp.reshape(-1, 1), j0c, lohi, ptw)
-    ctw_flat = ctw.transpose(0, 2, 1).reshape(4, 32 * w)
-    return words_to_blocks(ctw_flat[:, 1: n + 1])
+    fn = ctr_fused if jax.default_backend() == "tpu" else ctr_fused_jnp
+    return fn(kp.reshape(-1, 1), j0c, lohi, pt_stream)
 
 
-_ctr_bulk_jit = jax.jit(ctr_bulk_kernel)
+_ctr_bulk_jit = jax.jit(ctr_bulk_stream)
 
 
 def ctr_bulk(key, iv, data) -> bytes:
-    """Bulk CTR encrypt/decrypt (self-inverse), fused on TPU.  12-byte
-    nonce with the RFC-3686 start value (modes/ctr.py semantics); data a
-    whole-block multiple.  Falls back to the host CTR path off-TPU."""
+    """Bulk CTR encrypt/decrypt (self-inverse): fused Pallas kernel on
+    TPU, the jnp twin elsewhere.  12-byte nonce with the RFC-3686 start
+    value (modes/ctr.py semantics); data a whole-block multiple."""
+    from ..ops.pallas_seal import seal_word_align
+
     key = bytes(key)
     iv = bytes(iv)
-    if jax.default_backend() != "tpu":
-        from .ctr import ctr_encrypt
-
-        return ctr_encrypt(key, iv, data)
+    data = bytes(data)
     assert len(iv) >= 12
+    n = len(data) // BLOCK
+    w = -(-(n + 1) // 32)
+    w += (-w) % seal_word_align()
     ctr0 = np.zeros(BLOCK, np.uint8)
     ctr0[:12] = np.frombuffer(iv[:12], np.uint8)
     ctr0[15] = 1  # CTR_START_VALUE (micro_aes.h:98)
-    blocks = np.frombuffer(bytes(data), np.uint8).reshape(-1, BLOCK)
     kp, _ = gcm_key_setup(key)
-    out = _ctr_bulk_jit(kp, jnp.asarray(ctr0), jnp.asarray(blocks))
-    return bytes(np.asarray(out).reshape(-1))
+    out = _ctr_bulk_jit(kp, jnp.asarray(ctr0),
+                        jnp.asarray(host_stream(data, 1, w)))
+    return host_unstream(np.asarray(out), 1, len(data))
 
 
 def gcm_open(key, nonce, ct_and_tag, aad: bytes = b"") -> bytes:
@@ -328,20 +391,22 @@ def gcm_open(key, nonce, ct_and_tag, aad: bytes = b"") -> bytes:
     j0 = np.zeros(BLOCK, np.uint8)
     j0[:12] = nonce
     j0[15] = 1
-    blocks = np.frombuffer(ct, np.uint8).reshape(-1, BLOCK)
     kp, tables = gcm_key_setup(key)
     # the fused path runs everywhere (Pallas on TPU, jnp twin elsewhere
-    # via seal_fused_auto) — verify-BEFORE-release ordering preserved
-    n = blocks.shape[0]
+    # via seal_fused_auto) — verify-BEFORE-release ordering preserved.
+    # Bytes<->stream conversion happens HOST-side (numpy views): the
+    # device never touches a lane-padded [N,16] block array.
+    n = len(ct) // BLOCK
+    w = seal_stream_words(n)
     adj = _trail_adjust_t(key, fused_trailing_pad(n))
     ab, alen, ashift = _aad_prep(key, aad, n)
-    pt, got = _gcm_seal_fused_jit(kp, tables, adj, jnp.asarray(j0),
-                                  jnp.asarray(blocks),
-                                  open_direction=True, aad_blocks=ab,
-                                  aad_bytes=alen, aad_shift_t=ashift)
+    ptw, got = _gcm_seal_stream_jit(kp, tables, adj, jnp.asarray(j0),
+                                    jnp.asarray(host_stream(ct, 2, w)), n,
+                                    open_direction=True, aad_blocks=ab,
+                                    aad_bytes=alen, aad_shift_t=ashift)
     if not verify_tag(np.asarray(got), tag):
         raise AuthenticationError("GCM tag mismatch")
-    return bytes(np.asarray(pt).reshape(-1))
+    return host_unstream(np.asarray(ptw), 2, len(ct))
 
 
 def gcm_seal(key, nonce, plaintext, aad: bytes = b"") -> bytes:
@@ -354,11 +419,14 @@ def gcm_seal(key, nonce, plaintext, aad: bytes = b"") -> bytes:
     j0 = np.zeros(BLOCK, np.uint8)
     j0[:12] = nonce
     j0[15] = 1
-    pt = np.frombuffer(bytes(plaintext), np.uint8).reshape(-1, BLOCK)
-    n = pt.shape[0]
+    plaintext = bytes(plaintext)
+    n = len(plaintext) // BLOCK
+    w = seal_stream_words(n)
     adj = _trail_adjust_t(key, fused_trailing_pad(n))
     ab, alen, ashift = _aad_prep(key, aad, n)
-    ct, tag = _gcm_seal_fused_jit(kp, tables, adj, jnp.asarray(j0),
-                                  jnp.asarray(pt), aad_blocks=ab,
-                                  aad_bytes=alen, aad_shift_t=ashift)
-    return bytes(np.asarray(ct).reshape(-1)) + bytes(np.asarray(tag))
+    ctw, tag = _gcm_seal_stream_jit(
+        kp, tables, adj, jnp.asarray(j0),
+        jnp.asarray(host_stream(plaintext, 2, w)), n,
+        aad_blocks=ab, aad_bytes=alen, aad_shift_t=ashift)
+    return host_unstream(np.asarray(ctw), 2, len(plaintext)) + \
+        bytes(np.asarray(tag))

@@ -20,13 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.bitslice import blocks_to_words, key_planes, words_to_blocks
+from ..core.bitslice import key_planes
 from ..core.keyschedule import expand_key
 from ..errors import AuthenticationError
 from ..ops.gf128 import blocks_to_bits, polyval_matrix
 from ..ops.ghash_bulk import (
-    _combine_logdepth,
     _gf2_matmul_i8,
+    combine_levels,
     ghash_power_tables,
 )
 from ..utils.bytesio import BLOCK, verify_tag
@@ -47,26 +47,28 @@ def _siv_key_setup(key: bytes, nonce: bytes):
 
 def gcm_siv_seal_kernel(kp, tables, tag_words, pt_blocks):
     """Pass 2: LE32 counter stream from tag words; returns ct blocks."""
-    from ..ops.pallas_seal import SEAL_TILE_W, ctrw_fused
+    from ..ops.pallas_seal import (
+        bytes_to_stream,
+        ctrw_fused_auto,
+        seal_word_align,
+        stream_to_bytes,
+    )
 
     n = pt_blocks.shape[0]
     w = -(-n // 32)
-    w += (-w) % SEAL_TILE_W
+    w += (-w) % seal_word_align()
 
-    # counter words: word0 = tag word0 + position (LE32 wrap), words 1..3
-    # constant = tag words (MSB of byte 15 already set by the caller).
-    pos = jnp.arange(32 * w, dtype=jnp.uint32).reshape(w, 32).T  # [32, W]
-    w0 = tag_words[0] + pos
-    const = [jnp.broadcast_to(tag_words[k], (32, w)) for k in (1, 2, 3)]
-    ctrw = jnp.stack([w0] + const)  # [4, 32, W]
+    # counter stream [W, 128]: lane 4j+k of row w' holds word k of block
+    # 32w'+j — word 0 counts (LE32 wrap), words 1..3 are the tag words
+    # (MSB of byte 15 already set by the caller).
+    lane = jnp.arange(128, dtype=jnp.uint32)
+    pos = 32 * jnp.arange(w, dtype=jnp.uint32)[:, None] + lane[None, :] // 4
+    base = tag_words[lane % 4][None, :]
+    ctrw = jnp.where(lane[None, :] % 4 == 0, base + pos, base)
 
-    ptw = blocks_to_words(pt_blocks)
-    ptw = jnp.pad(ptw, ((0, 0), (0, 32 * w - n)))
-    ptw = ptw.reshape(4, w, 32).transpose(0, 2, 1)
-
-    ctw = ctrw_fused(kp.reshape(-1, 1), ctrw, ptw)
-    ctw_flat = ctw.transpose(0, 2, 1).reshape(4, 32 * w)
-    return words_to_blocks(ctw_flat[:, :n])
+    ptw = bytes_to_stream(pt_blocks, 0, w)
+    ctw = ctrw_fused_auto(kp.reshape(-1, 1), ctrw, ptw)
+    return stream_to_bytes(ctw, 0, n)
 
 
 def _polyval_tag_kernel(tables, data_blocks, len_block):
@@ -79,12 +81,12 @@ def _polyval_tag_kernel(tables, data_blocks, len_block):
         blocks_to_bits(data_blocks).astype(jnp.int8),
         blocks_to_bits(len_block[None, :]).astype(jnp.int8),
     ])
-    w1, w2, m_outer, _ = tables
+    w1, w2 = tables[0], tables[1]
     s1 = _gf2_matmul_i8(bits.reshape((pad + total) // 32, 32 * 128), w1)
     chunk2 = w2.shape[0] // 128
     s2 = _gf2_matmul_i8(
         s1.astype(jnp.int8).reshape(-1, chunk2 * 128), w2)
-    acc = _combine_logdepth(s2.astype(jnp.int8), m_outer)
+    acc = combine_levels(s2.astype(jnp.int8), tables)
     from ..ops.gf128 import bits_to_blocks
 
     return bits_to_blocks(acc)

@@ -32,12 +32,20 @@ _PLANE_PERM = np.concatenate([
 ])
 
 
+SPAN_LEVELS = 2     # extra 32-way matmul combine levels (3 and 4)
+SPAN_FAN = 32       # rows folded per extra level
+
+
 def ghash_power_tables(m_h, chunk: int = CHUNK, chunk2: int = CHUNK2,
                        plane_order: bool = False):
-    """Per-key precompute: (W1 [C*128,128], W2 [C2*128,128], M_outer, M_H)
-    as int8 device arrays.  W1 row-block j holds (M^(C-j))^T so
-    S = c_flat @ W1.  Built entirely in numpy on the host (the matrices
-    are tiny; device dispatch/compile would dominate per-key setup)."""
+    """Per-key precompute: (W1 [C*128,128], W2 [C2*128,128], M_outer, M_H,
+    spans) as int8 device arrays.  W1 row-block j holds (M^(C-j))^T so
+    S = c_flat @ W1.  `spans` holds SPAN_LEVELS further (W, M_next) pairs
+    that fold 32 rows per matmul — they turn the tail combine into a
+    couple of MXU contractions instead of a serial log-depth ladder
+    (up to chunk*chunk2*32^2 blocks collapse to one row).  Built entirely
+    in numpy on the host (the matrices are tiny; device dispatch/compile
+    would dominate per-key setup)."""
     m = np.asarray(m_h, np.uint8).astype(np.int64)
 
     def mm(a, b):
@@ -56,9 +64,24 @@ def ghash_power_tables(m_h, chunk: int = CHUNK, chunk2: int = CHUNK2,
         pows2.append(mm(m_c, pows2[-1]))
     w2 = np.concatenate([pows2[chunk2 - 1 - j].T for j in range(chunk2)], axis=0)
     m_outer = mm(m_c, pows2[chunk2 - 1])  # M^(C*C2)
+
+    spans = []
+    m_cur = m_outer
+    for _ in range(SPAN_LEVELS):
+        pws = [np.eye(128, dtype=np.int64), m_cur]
+        for _ in range(SPAN_FAN - 2):
+            pws.append(mm(m_cur, pws[-1]))
+        wsp = np.concatenate(
+            [pws[SPAN_FAN - 1 - j].T for j in range(SPAN_FAN)], axis=0)
+        m_next = mm(m_cur, pws[SPAN_FAN - 1])
+        spans.append((jnp.asarray(wsp.astype(np.int8)),
+                      jnp.asarray(m_next.astype(np.int8))))
+        m_cur = m_next
+
     return (jnp.asarray(w1.astype(np.int8)), jnp.asarray(w2.astype(np.int8)),
             jnp.asarray(m_outer.astype(np.int8)),
-            jnp.asarray(np.asarray(m_h, np.uint8)))
+            jnp.asarray(np.asarray(m_h, np.uint8)),
+            tuple(spans))
 
 
 def _gf2_matmul_i8(x, w):
@@ -87,22 +110,44 @@ def _combine_logdepth(u, m_outer):
     return u[0].astype(jnp.uint8)
 
 
+def combine_levels(u, tables):
+    """Fold row partials u int8 [T, 128] (exponents count from the row-
+    stream end; front-pad freely) into one accumulator uint8[128]: one
+    32-way matmul per span level, then a log-depth ladder for whatever
+    tail remains (empty for messages up to chunk*chunk2*32^2 blocks)."""
+    m_outer = tables[2]
+    spans = tables[4] if len(tables) > 4 else ()
+    m_cur = m_outer
+    for wsp, m_next in spans:
+        if u.shape[0] == 1:
+            break
+        pad = (-u.shape[0]) % SPAN_FAN
+        if pad:
+            u = jnp.concatenate(
+                [jnp.zeros((pad, 128), u.dtype), u], axis=0)
+        u = _gf2_matmul_i8(
+            u.reshape(u.shape[0] // SPAN_FAN, SPAN_FAN * 128), wsp
+        ).astype(jnp.int8)
+        m_cur = m_next
+    return _combine_logdepth(u.astype(jnp.int8), m_cur)
+
+
 def _levels(bits_flat, tables):
     """bits_flat [T, C*128] int8 -> folded accumulator uint8[128]."""
-    w1, w2, m_outer, _ = tables
+    w1, w2 = tables[0], tables[1]
     chunk2 = w2.shape[0] // 128
     t = bits_flat.shape[0]
     s1 = _gf2_matmul_i8(bits_flat, w1)  # [T,128] int32 0/1
     t2 = t // chunk2
     s2 = _gf2_matmul_i8(s1.astype(jnp.int8).reshape(t2, chunk2 * 128), w2)
-    return _combine_logdepth(s2.astype(jnp.int8), m_outer)
+    return combine_levels(s2.astype(jnp.int8), tables)
 
 
 def ghash_bulk(tables, ct_blocks: jax.Array, init_bits=None) -> jax.Array:
     """GHASH accumulator after folding ct_blocks [N,16]; N must be a
     multiple of chunk*chunk2.  Returns bit-vector uint8[128] (state
     *before* the final length-block fold)."""
-    w1, w2, m_outer, _ = tables
+    w1, w2 = tables[0], tables[1]
     chunk = w1.shape[0] // 128
     chunk2 = w2.shape[0] // 128
     n = ct_blocks.shape[0]
@@ -135,7 +180,7 @@ def ghash_from_bits(tables, bits: jax.Array) -> jax.Array:
 
 def ghash_finalize(tables, acc_bits: jax.Array, len_block: jax.Array) -> jax.Array:
     """One more fold with the length block: G = M(acc ^ bits(len))."""
-    w1, w2, m_outer, m_h = tables
+    m_h = tables[3]
     x = (acc_bits ^ blocks_to_bits(len_block)).astype(jnp.int8)
     mt = jnp.transpose(m_h.astype(jnp.int8))
     g = _gf2_matmul_i8(x, mt).astype(jnp.uint8)

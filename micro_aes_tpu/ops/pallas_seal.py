@@ -30,10 +30,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.bitslice import sbox_planes
-from .pallas_cipher import _key_slice, _mix_columns, _permute_rows
-from ..core.cipher import SHIFT_PERM
+from ..core.bitslice import _xtime_planes, sbox_planes
+from .pallas_cipher import _key_slice
 from ..ops.counter import _LOW_BIT_PATTERNS
+
+# In-kernel state rows use the ROW-MAJOR layout rm = 4*row + col (the
+# byte-position layout is pos = 4*col + row; the map rm <-> pos is the
+# involution below).  Why: in rm order, MixColumns' row rotations become
+# full 16-row pltpu.roll's and ShiftRows becomes three 4-row group
+# rolls — measured ~45% faster than the general 16-row permutes the
+# position layout needs (SHIFT_PERM row gathers dominated the kernel).
+_RM = np.array([4 * (p % 4) + p // 4 for p in range(16)])
 
 SEAL_TILE_W = 256
 
@@ -80,7 +87,8 @@ def _counter_planes(j0c, lohi):
     p = []
     for b in range(8):
         rows = []
-        for pos in range(16):
+        for rm in range(16):
+            pos = int(_RM[rm])  # row rm holds byte position _RM[rm]
             if pos <= 8:
                 rows.append(j0c[b * 16 + pos: b * 16 + pos + 1, :]
                             | jnp.zeros((1, tile), jnp.uint32))
@@ -94,40 +102,73 @@ def _counter_planes(j0c, lohi):
             else:
                 k = 8 * (11 - pos) + b
                 rows.append(((hi >> k) & 1) * ones)
-        p.append(jnp.concatenate(rows, axis=0))  # [16, TILE]
+        p.append(jnp.concatenate(rows, axis=0))  # [16, TILE] rm-layout
     return p
 
 
+def _shift_rows_rm(x):
+    """ShiftRows on an rm-layout [16, TILE] plane: state row r (rows
+    4r..4r+3) rotates left by r columns."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    return jnp.concatenate(
+        [x[0:4, :]] + [_pltpu.roll(x[4 * r: 4 * (r + 1), :], 4 - r, 0)
+                       for r in (1, 2, 3)], axis=0)
+
+
+def _mix_columns_rm(p):
+    """MixColumns on rm-layout planes: the a_{r+k} row selections are
+    full 16-row rotations."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    a1 = [_pltpu.roll(x, 12, 0) for x in p]
+    a2 = [_pltpu.roll(x, 8, 0) for x in p]
+    a3 = [_pltpu.roll(x, 4, 0) for x in p]
+    xt = _xtime_planes(p)
+    xt1 = _xtime_planes(a1)
+    return [xt[b] ^ xt1[b] ^ a1[b] ^ a2[b] ^ a3[b] for b in range(8)]
+
+
 def _cipher_rounds(rounds: int, kp, p):
-    """Bitsliced AES rounds on 8 [16, TILE] planes (same circuit as
-    ops/pallas_cipher; kp is the flat [(R+1)*128, 1] key-plane array)."""
+    """Bitsliced AES rounds on 8 rm-layout [16, TILE] planes (kp is the
+    flat [(R+1)*128, 1] key-plane array, rows pre-permuted to rm)."""
     p = [p[b] ^ _key_slice(kp, 0, b) for b in range(8)]
     for r in range(1, rounds + 1):
         p = sbox_planes(p, True)
-        p = [_permute_rows(x, SHIFT_PERM) for x in p]
+        p = [_shift_rows_rm(x) for x in p]
         if r != rounds:
-            p = _mix_columns(p)
+            p = _mix_columns_rm(p)
         p = [p[b] ^ _key_slice(kp, r, b) for b in range(8)]
     return p
 
 
-def _xor_stream(p, ptw, keep_input_bits: bool):
+def _kp_rm(kp_flat):
+    """Permute the key-plane rows from byte-position order to rm order
+    (one tiny static gather, outside the kernel)."""
+    nr = kp_flat.shape[0] // 128
+    return kp_flat.reshape(nr, 8, 16)[:, :, _RM].reshape(-1, 1)
+
+
+def _xor_stream(p, x128, keep_input_bits: bool):
     """Butterfly input words into bit planes, xor the keystream planes,
-    butterfly back.  Returns (ctw [4,32,TILE], ct_planes) where ct_planes
+    butterfly back.  x128 is [128, TILE] u32 with row 4j+k = word k of
+    lane-j blocks (the transposed w-major stream layout).  Returns
+    (out128 [128, TILE] in the same row order, ct_planes) where ct_planes
     are the GHASH-side bit planes (input when opening, output when
     sealing)."""
     ct_planes = []
-    out_words = []
+    out_rows = [None] * 128
     for k in range(4):
-        rows = [ptw[k, j: j + 1, :] for j in range(32)]
+        rows = [x128[4 * j + k: 4 * j + k + 1, :] for j in range(32)]
         tr = _butterfly_rows(rows)  # tr[r] = plane of bit r of word k
-        ks = [p[r % 8][4 * k + r // 8: 4 * k + r // 8 + 1, :]
+        ks = [p[r % 8][int(_RM[4 * k + r // 8]): int(_RM[4 * k + r // 8]) + 1, :]
               for r in range(32)]
         out_bits = [tr[r] ^ ks[r] for r in range(32)]  # each [1, TILE]
         ct_planes.append(tr if keep_input_bits else out_bits)
         back = _butterfly_rows(out_bits)
-        out_words.append(jnp.concatenate(back, axis=0))  # [32, TILE]
-    return jnp.stack(out_words), ct_planes
+        for j in range(32):
+            out_rows[4 * j + k] = back[j]
+    return jnp.concatenate(out_rows, axis=0), ct_planes
 
 
 def _ghash_level1(ct_planes, ghm, w1t):
@@ -152,32 +193,33 @@ def _ghash_level1(ct_planes, ghm, w1t):
 
 
 def _seal_math(rounds: int, bits_from_input: bool,
-               kp, j0c, lohi, ghm, w1t, ptw):
+               kp, j0c, lohi, ghm, w1t, x128):
     p = _cipher_rounds(rounds, kp, _counter_planes(j0c, lohi))
-    ctw, ct_planes = _xor_stream(p, ptw, bits_from_input)
-    return ctw, _ghash_level1(ct_planes, ghm, w1t)
+    out128, ct_planes = _xor_stream(p, x128, bits_from_input)
+    return out128, _ghash_level1(ct_planes, ghm, w1t)
 
 
-def _ctr_math(rounds: int, kp, j0c, lohi, ptw):
+def _ctr_math(rounds: int, kp, j0c, lohi, x128):
     p = _cipher_rounds(rounds, kp, _counter_planes(j0c, lohi))
-    ctw, _ = _xor_stream(p, ptw, False)
-    return ctw
+    out128, _ = _xor_stream(p, x128, False)
+    return out128
 
 
-def _ctrw_math(rounds: int, kp, ctrw, ptw):
-    """CTR with counter blocks provided as words (any counter convention:
-    the caller builds [4,32,W] counter words with plain vector math).
-    Butterflies counters into planes, runs the rounds, xors."""
+def _ctrw_math(rounds: int, kp, ctrw128, x128):
+    """CTR with counter blocks provided as stream words (any counter
+    convention: the caller builds the [W, 128] counter stream with plain
+    vector math).  Butterflies counters into planes, runs the rounds,
+    xors.  Both streams use the transposed row layout of _xor_stream."""
     p = [[None] * 16 for _ in range(8)]
     for k in range(4):
-        rows = [ctrw[k, j: j + 1, :] for j in range(32)]
+        rows = [ctrw128[4 * j + k: 4 * j + k + 1, :] for j in range(32)]
         tr = _butterfly_rows(rows)
         for r in range(32):
-            p[r % 8][4 * k + r // 8] = tr[r]
+            p[r % 8][int(_RM[4 * k + r // 8])] = tr[r]
     p = [jnp.concatenate(pb, axis=0) for pb in p]
     p = _cipher_rounds(rounds, kp, p)
-    ctw, _ = _xor_stream(p, ptw, False)
-    return ctw
+    out128, _ = _xor_stream(p, x128, False)
+    return out128
 
 
 # ---------------------------------------------------------------------------
@@ -187,49 +229,57 @@ def _ctrw_math(rounds: int, kp, ctrw, ptw):
 
 def _seal_kernel(rounds: int, bits_from_input: bool, kp_ref, j0c_ref,
                  lohi_ref, ghm_ref, w1t_ref, ptw_ref, ctw_ref, s1_ref):
-    ctw, s1 = _seal_math(rounds, bits_from_input, kp_ref, j0c_ref,
-                         lohi_ref[:], ghm_ref[0:1, :], w1t_ref[:],
-                         ptw_ref)
-    ctw_ref[:] = ctw
+    x128 = jnp.transpose(ptw_ref[:])  # [TILE,128] -> [128,TILE] in VMEM
+    out128, s1 = _seal_math(rounds, bits_from_input, kp_ref, j0c_ref,
+                            lohi_ref[:], ghm_ref[0:1, :], w1t_ref[:], x128)
+    ctw_ref[:] = jnp.transpose(out128)
     s1_ref[:] = s1
 
 
 def _ctr_kernel(rounds: int, kp_ref, j0c_ref, lohi_ref, ptw_ref, ctw_ref):
-    ctw_ref[:] = _ctr_math(rounds, kp_ref, j0c_ref, lohi_ref[:], ptw_ref)
+    x128 = jnp.transpose(ptw_ref[:])
+    ctw_ref[:] = jnp.transpose(
+        _ctr_math(rounds, kp_ref, j0c_ref, lohi_ref[:], x128))
 
 
 def _ctrw_kernel(rounds: int, kp_ref, ctrw_ref, ptw_ref, ctw_ref):
-    ctw_ref[:] = _ctrw_math(rounds, kp_ref, ctrw_ref, ptw_ref)
+    ctw_ref[:] = jnp.transpose(_ctrw_math(
+        rounds, kp_ref, jnp.transpose(ctrw_ref[:]),
+        jnp.transpose(ptw_ref[:])))
 
 
 # ---------------------------------------------------------------------------
-# Public entry points
+# Public entry points.  The stream layout is w-major uint32[W, 128]:
+# row w lane 4j+k = word k of block 32w+j — i.e. a PURE bitcast+reshape
+# of the byte stream (the little-endian u32 view of 32 consecutive
+# blocks per row).  The byte<->word relayout that used to cost more than
+# the cipher itself is now a [TILE,128] transpose inside VMEM.
 # ---------------------------------------------------------------------------
 
 
 @jax.jit
 def ctrw_fused(kp_flat, ctr_words, pt_words):
-    """Fused CTR with caller-supplied counter words [4,32,W] (LE32
+    """Fused CTR with caller-supplied counter stream [W, 128] (LE32
     conventions, preset counters, SIV variants...)."""
     rounds = kp_flat.shape[0] // 128 - 1
-    w = ctr_words.shape[-1]
+    w = ctr_words.shape[0]
     assert w % SEAL_TILE_W == 0
     return pl.pallas_call(
         functools.partial(_ctrw_kernel, rounds),
         interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct((4, 32, w), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((w, 128), jnp.uint32),
         grid=(w // SEAL_TILE_W,),
         in_specs=[
             pl.BlockSpec((kp_flat.shape[0], 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+            pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+            pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-    )(kp_flat, ctr_words, pt_words)
+    )(_kp_rm(kp_flat), ctr_words, pt_words)
 
 
 @jax.jit
@@ -241,7 +291,7 @@ def ctr_fused(kp_flat, j0_const, lohi, pt_words):
     return pl.pallas_call(
         functools.partial(_ctr_kernel, rounds),
         interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct((4, 32, w), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((w, 128), jnp.uint32),
         grid=(w // SEAL_TILE_W,),
         in_specs=[
             pl.BlockSpec((kp_flat.shape[0], 1), lambda i: (0, 0),
@@ -250,12 +300,12 @@ def ctr_fused(kp_flat, j0_const, lohi, pt_words):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, SEAL_TILE_W), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+            pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-    )(kp_flat, j0_const, lohi, pt_words)
+    )(_kp_rm(kp_flat), j0_const, lohi, pt_words)
 
 
 @functools.partial(jax.jit, static_argnames=("bits_from_input",))
@@ -264,9 +314,10 @@ def seal_fused(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
     """kp_flat uint32[(R+1)*128, 1], j0_const uint32[128,1],
     lohi uint32[2, W], ghmask uint32[1, W], w1t int8[128, 4096]
     (transposed plane-ordered level-1 GHASH table), pt_words
-    uint32[4, 32, W] -> (out_words uint32[4,32,W], s1 int8[128, W]) where
-    s1[:, w] is the level-1 GHASH partial of 32-block chunk w.
-    bits_from_input=True gives the GCM *open* direction (input is ct)."""
+    uint32[W, 128] w-major stream -> (out_words uint32[W,128],
+    s1 int8[128, W]) where s1[:, w] is the level-1 GHASH partial of
+    32-block chunk w.  bits_from_input=True gives the GCM *open*
+    direction (input is ct)."""
     rounds = kp_flat.shape[0] // 128 - 1
     w = lohi.shape[-1]
     assert w % SEAL_TILE_W == 0
@@ -275,7 +326,7 @@ def seal_fused(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
         functools.partial(_seal_kernel, rounds, bits_from_input),
         interpret=_interpret(),
         out_shape=(
-            jax.ShapeDtypeStruct((4, 32, w), jnp.uint32),
+            jax.ShapeDtypeStruct((w, 128), jnp.uint32),
             jax.ShapeDtypeStruct((128, w), jnp.int8),
         ),
         grid=grid,
@@ -290,16 +341,16 @@ def seal_fused(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 4096), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+            pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((4, 32, SEAL_TILE_W), lambda i: (0, 0, i),
+            pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
-    )(kp_flat, j0_const, lohi, ghmask, w1t, pt_words)
+    )(_kp_rm(kp_flat), j0_const, lohi, ghmask, w1t, pt_words)
     return ctw, s1
 
 
@@ -345,6 +396,20 @@ def _counter_planes_vec(j0c, lohi):
     return out  # [128, W]
 
 
+def _stream_to_kwords(x):
+    """uint32[W, 128] w-major stream -> [4, 32W] word-major (block order:
+    words_flat[k, 32w+j] = x[w, 4j+k]) for the vectorized twins."""
+    w = x.shape[0]
+    return x.reshape(w, 32, 4).transpose(2, 0, 1).reshape(4, 32 * w)
+
+
+def _kwords_to_stream(words):
+    """Inverse of _stream_to_kwords."""
+    n = words.shape[-1]
+    w = n // 32
+    return words.reshape(4, w, 32).transpose(1, 2, 0).reshape(w, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("bits_from_input",))
 def seal_fused_jnp(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
                    bits_from_input: bool = False):
@@ -366,13 +431,11 @@ def seal_fused_jnp(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
     kp = kp_flat.reshape(rounds + 1, 8, 16)
     ks_planes = encrypt_planes(kp, ctr_planes)
 
-    words = pt_words.transpose(0, 2, 1).reshape(4, 32 * w)  # [4, N']
-    in_planes = words_to_planes(words)
+    in_planes = words_to_planes(_stream_to_kwords(pt_words))
     out_planes = in_planes ^ ks_planes
     ct_planes = in_planes if bits_from_input else out_planes
 
-    out_words = planes_to_words(out_planes)  # [4, 32w]
-    ctw = out_words.reshape(4, w, 32).transpose(0, 2, 1)
+    ctw = _kwords_to_stream(planes_to_words(out_planes))
 
     # level-1 GHASH: mask invalid stream positions, fold 32-block chunks
     bits = planes_to_bits_i8(ct_planes)  # [32w, 128] rows n = 32w'+j
@@ -383,19 +446,30 @@ def seal_fused_jnp(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
 
 
 @jax.jit
+def ctr_fused_jnp(kp_flat, j0_const, lohi, pt_words):
+    """jnp twin of ctr_fused (vectorized form, see seal_fused_jnp)."""
+    from ..core.bitslice import encrypt_planes, planes_to_words, words_to_planes
+
+    rounds = kp_flat.shape[0] // 128 - 1
+    w = lohi.shape[-1]
+    ctr_planes = _counter_planes_vec(j0_const, lohi).reshape(8, 16, w)
+    kp = kp_flat.reshape(rounds + 1, 8, 16)
+    ks = encrypt_planes(kp, ctr_planes)
+    in_planes = words_to_planes(_stream_to_kwords(pt_words))
+    return _kwords_to_stream(planes_to_words(in_planes ^ ks))
+
+
+@jax.jit
 def ctrw_fused_jnp(kp_flat, ctr_words, pt_words):
     """jnp twin of ctrw_fused (vectorized form, see seal_fused_jnp)."""
     from ..core.bitslice import encrypt_planes, planes_to_words, words_to_planes
 
     rounds = kp_flat.shape[0] // 128 - 1
-    w = ctr_words.shape[-1]
     kp = kp_flat.reshape(rounds + 1, 8, 16)
-    ctr_planes = words_to_planes(
-        ctr_words.transpose(0, 2, 1).reshape(4, 32 * w))
+    ctr_planes = words_to_planes(_stream_to_kwords(ctr_words))
     ks = encrypt_planes(kp, ctr_planes)
-    in_planes = words_to_planes(pt_words.transpose(0, 2, 1).reshape(4, 32 * w))
-    out_words = planes_to_words(in_planes ^ ks)
-    return out_words.reshape(4, w, 32).transpose(0, 2, 1)
+    in_planes = words_to_planes(_stream_to_kwords(pt_words))
+    return _kwords_to_stream(planes_to_words(in_planes ^ ks))
 
 
 def seal_fused_auto(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
@@ -406,3 +480,29 @@ def seal_fused_auto(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
     fn = seal_fused if jax.default_backend() == "tpu" else seal_fused_jnp
     return fn(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
               bits_from_input=bits_from_input)
+
+
+def ctrw_fused_auto(kp_flat, ctr_words, pt_words):
+    """Backend dispatch for the counter-words CTR engine."""
+    fn = ctrw_fused if jax.default_backend() == "tpu" else ctrw_fused_jnp
+    return fn(kp_flat, ctr_words, pt_words)
+
+
+def bytes_to_stream(blocks, front_pos: int, w: int):
+    """uint8[N,16] blocks -> uint32[W, 128] w-major stream with the data
+    starting at stream position `front_pos` (pure bitcast + pad +
+    reshape: one pass, no transposes)."""
+    n = blocks.shape[0]
+    u32 = jax.lax.bitcast_convert_type(
+        blocks.reshape(n, 4, 4), jnp.uint32).reshape(4 * n)
+    flat = jnp.pad(u32, (4 * front_pos, 128 * w - 4 * n - 4 * front_pos))
+    return flat.reshape(w, 128)
+
+
+def stream_to_bytes(stream, front_pos: int, n: int):
+    """uint32[W, 128] -> uint8[n, 16] blocks from stream position
+    front_pos (pure slice + bitcast)."""
+    flat = stream.reshape(-1)
+    words = jax.lax.slice(flat, (4 * front_pos,), (4 * front_pos + 4 * n,))
+    return jax.lax.bitcast_convert_type(
+        words.reshape(n, 4), jnp.uint8).reshape(n, 16)

@@ -133,7 +133,7 @@ def test_seal_kernel_interpret_matches_jnp_twin():
     j0c = jnp.asarray(
         (rng.integers(0, 2, (128, 1), dtype=np.uint32) * 0xFFFFFFFF)
         .astype(np.uint32))
-    ptw = jnp.asarray(rng.integers(0, 2**32, (4, 32, w), dtype=np.uint32))
+    ptw = jnp.asarray(rng.integers(0, 2**32, (w, 128), dtype=np.uint32))
     w1t = jnp.transpose(tables[0]).astype(jnp.int8)
 
     ctw_k, s1_k = seal_fused(kp_flat, j0c, lohi, ghm, w1t, ptw)
