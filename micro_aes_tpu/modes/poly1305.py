@@ -47,3 +47,49 @@ def poly1305_aes(keys, nonce, data) -> bytes:
         c = int.from_bytes(chunk + b"\x01", "little")
         poly = (poly + c * pow(r, q + 1 - j, P1305)) % P1305
     return int.to_bytes((poly + s) % (1 << 128), 16, "little")
+
+
+def poly1305_aes_bulk(keys, nonce, data) -> bytes:
+    """TPU-native Poly1305-AES: the whole-chunk body folds on device as
+    batched int8 MXU matmuls over powers of r (ops/poly_bulk — the same
+    two-level + span design as the GHASH engine, over Z mod 2^130-5
+    instead of GF(2^128)); only the ragged tail chunk and the final
+    canonical reduction run host-side.  Bit-exact vs poly1305_aes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.poly_bulk import (
+        P1305 as _P,
+        limbs_to_int,
+        poly_fold_jnp,
+        poly_power_tables,
+    )
+
+    keys = bytes(keys)
+    klen = len(keys) - 16
+    aes_key, r_bytes = keys[:klen], keys[klen:]
+    nonce = to_u8(nonce)[:BLOCK]
+    data = bytes(to_u8(data))
+
+    s = int.from_bytes(bytes(enc_block(aes_key, nonce)), "little")
+    if not data:
+        return int.to_bytes(s, 16, "little")
+
+    r = _clamp_r(r_bytes)
+    nf, tail_len = divmod(len(data), BLOCK)
+    poly = 0
+    if nf:
+        tables = poly_power_tables(r)
+        n = nf + ((-nf) % 32)
+        words = np.zeros((n, 4), np.uint32)
+        words[n - nf:] = np.frombuffer(
+            data[: nf * BLOCK], np.uint32).reshape(nf, 4)
+        pad_mask = np.zeros(n, np.int32)
+        pad_mask[n - nf:] = 1  # front-padded zero chunks get no pad bit
+        limbs = poly_fold_jnp(tables, jnp.asarray(words.T),
+                              jnp.asarray(pad_mask))
+        poly = limbs_to_int(limbs)
+    if tail_len:
+        c_tail = int.from_bytes(data[nf * BLOCK:] + b"\x01", "little")
+        poly = ((poly + c_tail) * r) % _P
+    return int.to_bytes((poly + s) % (1 << 128), 16, "little")
