@@ -1,0 +1,235 @@
+"""Per-mode benchmark matrix + mesh scaling harness.
+
+    python benchmarks.py                # one JSON line per mode
+    python benchmarks.py --mesh         # sharded GCM scaling over sp
+    python benchmarks.py --modes gcm-seal ctr
+
+bench.py stays the single-line headline bench the driver consumes; this
+is the full matrix (BASELINE.md metrics #1/#2).  All rates are marginal
+(slope between two on-device repetition counts) to cancel the fixed
+dispatch latency of the remote-execution tunnel.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _marginal_rate(make_loop, x0, nbytes_per_iter, r1=8, r2=40):
+    import jax
+
+    res = {}
+    for r in (r1, r2):
+        loop = make_loop(r)
+        jax.tree_util.tree_map(lambda v: v.block_until_ready(), loop(x0))
+        ts = []
+        for k in range(3):
+            xv = x0 + x0.dtype.type(k + 1)
+            xv.block_until_ready()
+            t0 = time.time()
+            jax.tree_util.tree_map(lambda v: v.block_until_ready(), loop(xv))
+            ts.append(time.time() - t0)
+        res[r] = sorted(ts)[1]
+    slope = (res[r2] - res[r1]) / (r2 - r1)
+    return nbytes_per_iter / max(slope, 1e-9)
+
+
+def _emit(mode, value, unit="bytes/s"):
+    print(json.dumps({"mode": mode, "value": round(value), "unit": unit}))
+
+
+def bench_modes(selected):
+    import jax
+    import jax.numpy as jnp
+
+    from micro_aes_tpu.modes.ocb import _offset0, _subkeys
+    from micro_aes_tpu.modes.ocb_bulk import _lane_words, _ocb_key_setup
+    from micro_aes_tpu.modes.seal import (
+        _trail_adjust_t,
+        ctr_bulk_stream,
+        fused_trailing_pad,
+        gcm_key_setup,
+        gcm_seal_stream_fused,
+        seal_stream_words,
+    )
+    from micro_aes_tpu.ops.pallas_seal import (
+        ocb_fused_auto,
+        seal_word_align,
+    )
+    from micro_aes_tpu.ops.poly_bulk import poly_fold_jnp, poly_power_tables
+
+    key = bytes(range(32))
+    key16 = bytes(range(16))
+    kp, tables = gcm_key_setup(key)
+    n_blocks = 1 << 20  # 16 MiB
+    nbytes = n_blocks * 16
+    j0 = np.zeros(16, np.uint8)
+    j0[:12] = np.arange(12, dtype=np.uint8)
+    j0[15] = 1
+
+    w = seal_stream_words(n_blocks)
+    adj = _trail_adjust_t(key, fused_trailing_pad(n_blocks))
+    ptw0 = jnp.zeros((w, 128), jnp.uint32)
+
+    def loop_of(step):
+        def make(reps):
+            @jax.jit
+            def loop(x):
+                return jax.lax.fori_loop(0, reps, lambda _, c: step(c), x)
+            return loop
+        return make
+
+    if "gcm-seal" in selected:
+        def step(c):
+            ctw, tag = gcm_seal_stream_fused(kp, tables, adj,
+                                             jnp.asarray(j0), c, n_blocks)
+            return ctw
+        _emit("AES-256-GCM seal", _marginal_rate(loop_of(step), ptw0, nbytes))
+
+    if "gcm-open" in selected:
+        def step(c):
+            ptw, tag = gcm_seal_stream_fused(kp, tables, adj,
+                                             jnp.asarray(j0), c, n_blocks,
+                                             open_direction=True)
+            return ptw
+        _emit("AES-256-GCM open", _marginal_rate(loop_of(step), ptw0, nbytes))
+
+    if "ctr" in selected:
+        ctr0 = np.zeros(16, np.uint8)
+        ctr0[:12] = np.arange(12, dtype=np.uint8)
+        ctr0[15] = 1
+        wc = -(-(n_blocks + 1) // 32)
+        wc += (-wc) % seal_word_align()
+        ptc = jnp.zeros((wc, 128), jnp.uint32)
+
+        def step(c):
+            return ctr_bulk_stream(kp, jnp.asarray(ctr0), c)
+        _emit("AES-256-CTR", _marginal_rate(loop_of(step), ptc, nbytes))
+
+    if "ocb-seal" in selected or "ocb-open" in selected:
+        l_star, l_dollar, ls = _subkeys(key16)
+        d0 = _offset0(key16, np.arange(12, dtype=np.uint8), 16)
+        wo = -(-n_blocks // 32)
+        wo += (-wo) % seal_word_align()
+        nbits = (32 * wo).bit_length()
+        d0l = jnp.asarray(_lane_words(d0)[None, :])
+        lbl = jnp.asarray(np.stack([_lane_words(ls[b]) for b in range(nbits)]))
+        kpo = _ocb_key_setup(key16)
+        pto = jnp.zeros((wo, 128), jnp.uint32)
+        if "ocb-seal" in selected:
+            def step(c):
+                return ocb_fused_auto(kpo, d0l, lbl, c, nbits)
+            _emit("AES-128-OCB seal body",
+                  _marginal_rate(loop_of(step), pto, nbytes))
+        if "ocb-open" in selected:
+            def step(c):
+                return ocb_fused_auto(kpo, d0l, lbl, c, nbits, decrypt=True)
+            _emit("AES-128-OCB open body",
+                  _marginal_rate(loop_of(step), pto, nbytes))
+
+    if "poly1305" in selected:
+        r = 0x0ffffffc0ffffffc0ffffffc0fffffff & int.from_bytes(
+            bytes(range(16)), "little")
+        ptables = poly_power_tables(r)
+        words0 = jnp.zeros((4, n_blocks), jnp.uint32)
+        pm = jnp.ones(n_blocks, jnp.int32)
+
+        def step(c):
+            out = poly_fold_jnp(ptables, c, pm)
+            return c + out[0].astype(jnp.uint32)
+        _emit("Poly1305 fold", _marginal_rate(loop_of(step), words0, nbytes))
+
+    if "cipher" in selected:
+        from micro_aes_tpu.ops.pallas_cipher import TILE_W, cipher_planes_auto
+
+        wp = n_blocks // 32
+        wp += (-wp) % TILE_W
+        planes0 = jnp.zeros((8, 16, wp), jnp.uint32)
+
+        def step(c):
+            return cipher_planes_auto(kp, c)
+        _emit("AES-256 cipher (bitsliced planes)",
+              _marginal_rate(loop_of(step), planes0, 32 * wp * 16))
+
+
+def bench_mesh():
+    """Weak-scaling of the fused sharded GCM seal over sp (virtual CPU
+    devices off-TPU; real chips when a multi-chip backend exists)."""
+    import jax
+    import jax.numpy as jnp
+
+    from micro_aes_tpu.modes.common import enc_blocks_np
+    from micro_aes_tpu.modes.seal import gcm_key_setup
+    from micro_aes_tpu.parallel.mesh import make_mesh
+    from micro_aes_tpu.parallel.sharded import (
+        gcm_sharded_fused_fn,
+        shard_adjust_matrices_fused,
+        sharded_aad_args,
+    )
+
+    ndev = len(jax.devices())
+    key = bytes(range(16))
+    kp, tables = gcm_key_setup(key, chunk=32, chunk2=2)
+    blocks_per_shard = 2048
+    base_rate = None
+    for sp in (1, 2, 4, 8):
+        if sp > ndev:
+            break
+        mesh = make_mesh(1, sp)
+        n_blocks = sp * blocks_per_shard
+        j0 = np.zeros((1, 16), np.uint8)
+        j0[0, :12] = np.arange(12, dtype=np.uint8)
+        j0[0, 15] = 1
+        ek_j0 = enc_blocks_np(key, j0)
+        adj = shard_adjust_matrices_fused(tables[3], blocks_per_shard, sp,
+                                          chunk2=2)
+        aad_acc, aad_shift_t, _ = sharded_aad_args(key, b"", n_blocks, 1)
+        seal = gcm_sharded_fused_fn(mesh, n_blocks)
+        pt0 = jnp.zeros((1, n_blocks, 16), jnp.uint8)
+
+        def run(pt):
+            ct, tag = seal(kp, tables, adj, jnp.asarray(j0),
+                           jnp.asarray(ek_j0), pt, aad_acc, aad_shift_t)
+            return tag
+        run(pt0).block_until_ready()
+        ts = []
+        for k in range(3):
+            pv = pt0 + np.uint8(k + 1)
+            pv.block_until_ready()
+            t0 = time.time()
+            run(pv).block_until_ready()
+            ts.append(time.time() - t0)
+        dt = sorted(ts)[1]
+        rate = n_blocks / dt
+        per_chip = rate / sp
+        if base_rate is None:
+            base_rate = per_chip
+        print(json.dumps({
+            "mode": "sharded GCM seal (weak scaling)",
+            "sp": sp,
+            "blocks_per_s": round(rate),
+            "blocks_per_s_per_chip": round(per_chip),
+            "efficiency_vs_sp1": round(per_chip / base_rate, 3),
+            "backend": jax.default_backend(),
+        }))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--mesh", action="store_true",
+                        help="run the sharded scaling harness instead")
+    parser.add_argument("--modes", nargs="*",
+                        default=["gcm-seal", "gcm-open", "ctr", "ocb-seal",
+                                 "ocb-open", "poly1305", "cipher"])
+    args = parser.parse_args(argv)
+    if args.mesh:
+        bench_mesh()
+    else:
+        bench_modes(set(args.modes))
+
+
+if __name__ == "__main__":
+    main()

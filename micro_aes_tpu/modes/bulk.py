@@ -213,3 +213,247 @@ def xts_batch(keys: list[bytes], tweaks: list[bytes], datas: list[bytes],
     fn = _enc_vmap if encrypt else _dec_vmap
     y = np.asarray(fn(rks1, jnp.asarray(x ^ tw))) ^ tw
     return [bytes(y[i].reshape(-1)) for i in range(B)]
+
+
+# ---------------------------------------------------------------------------
+# Batched CCM / EAX: fused CTR bodies + batched CBC-MAC folds
+# (VERDICT r1 item 4 — the conformance corpora and multi-stream serving
+# run these as a handful of device dispatches regardless of B)
+# ---------------------------------------------------------------------------
+
+
+def _enc1_batch(rks, blocks: np.ndarray) -> np.ndarray:
+    """E_K_i(block_i) for B (key, block) pairs in one dispatch."""
+    return np.asarray(_enc_vmap(rks, jnp.asarray(blocks[:, None, :])))[:, 0]
+
+
+def _omac_batch(rks, t: int, datas: list[np.ndarray]) -> np.ndarray:
+    """Batched EAX OMAC (micro_aes.c:1531-1549): per message,
+    CMAC(data, init=E(tweak block)); empty data short-circuits to
+    E(K1 ^ tweak)."""
+    from ..ops.mac import double_be_np
+
+    B = len(datas)
+    L = _enc1_batch(rks, np.zeros((B, BLOCK), np.uint8))
+    k1 = double_be_np(L)
+    k2 = double_be_np(k1)
+    inits = np.zeros((B, BLOCK), np.uint8)
+    for i, d in enumerate(datas):
+        if not len(d):
+            inits[i] = k1[i]
+    inits[:, BLOCK - 1] ^= t
+    inits = _enc1_batch(rks, inits)
+
+    m = max((max((len(d) - 1) // BLOCK + 1, 1) for d in datas if len(d)),
+            default=1)
+    blocks = np.zeros((B, m, BLOCK), np.uint8)
+    nv = np.zeros(B, np.int32)
+    for i, d in enumerate(datas):
+        n = len(d)
+        if not n:
+            continue
+        s = (n - 1) % BLOCK + 1
+        nb = (n - s) // BLOCK
+        blocks[i, :nb] = d[: n - s].reshape(nb, BLOCK)
+        last = np.zeros(BLOCK, np.uint8)
+        last[:s] = d[n - s:]
+        if s < BLOCK:
+            last[s] ^= 0x80
+            last ^= k2[i]
+        else:
+            last ^= k1[i]
+        blocks[i, nb] = last
+        nv[i] = nb + 1
+    return np.asarray(cbcmac_fold_batch(
+        jnp.asarray(np.asarray(rks)), jnp.asarray(inits),
+        jnp.asarray(blocks), jnp.asarray(nv)))
+
+
+def eax_encrypt_batch(keys, nonces, aads, pts, tag_len: int = 16) -> list[bytes]:
+    """AES-EAX over B independent messages, batched device folds."""
+    B = len(keys)
+    rks = jnp.asarray(stack_round_keys(keys))
+    nonces = [to_u8(x) for x in nonces]
+    aads = [to_u8(x) for x in aads]
+    pts = [to_u8(x) for x in pts]
+
+    n_mac = _omac_batch(rks, 0, nonces)
+    nks = max(((len(p) + BLOCK - 1) // BLOCK for p in pts), default=0)
+    if nks:
+        ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 0, "be"))(
+            jnp.asarray(n_mac))
+        ks = np.asarray(_enc_vmap(rks, ctrs))
+    cts = [bytes(p ^ ks[i].reshape(-1)[: len(p)]) if len(p) else b""
+           for i, p in enumerate(pts)]
+
+    h_mac = _omac_batch(rks, 1, aads)
+    c_mac = _omac_batch(rks, 2, [np.frombuffer(c, np.uint8) for c in cts])
+    tags = n_mac ^ h_mac ^ c_mac
+    return [cts[i] + bytes(tags[i][:tag_len]) for i in range(B)]
+
+
+def eax_decrypt_batch(keys, nonces, aads, ct_tags,
+                      tag_len: int = 16) -> list[bytes | None]:
+    """Batched EAX open (authenticate-then-decrypt, constant-time
+    compares); failed messages come back as None."""
+    from ..utils.bytesio import verify_tag
+
+    B = len(keys)
+    rks = jnp.asarray(stack_round_keys(keys))
+    nonces = [to_u8(x) for x in nonces]
+    aads = [to_u8(x) for x in aads]
+    data = [to_u8(x) for x in ct_tags]
+    cts = [d[: len(d) - tag_len] for d in data]
+    tags = [bytes(d[len(d) - tag_len:]) for d in data]
+
+    n_mac = _omac_batch(rks, 0, nonces)
+    h_mac = _omac_batch(rks, 1, aads)
+    c_mac = _omac_batch(rks, 2, cts)
+    expects = n_mac ^ h_mac ^ c_mac
+
+    nks = max(((len(c) + BLOCK - 1) // BLOCK for c in cts), default=0)
+    if nks:
+        ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 0, "be"))(
+            jnp.asarray(n_mac))
+        ks = np.asarray(_enc_vmap(rks, ctrs))
+    out: list[bytes | None] = []
+    for i, c in enumerate(cts):
+        if not verify_tag(expects[i][:tag_len], tags[i]):
+            out.append(None)
+            continue
+        out.append(bytes(c ^ ks[i].reshape(-1)[: len(c)]) if len(c) else b"")
+    return out
+
+
+def _ccm_mac_blocks(iv0: np.ndarray, aad: np.ndarray, pt: np.ndarray,
+                    tag_len: int):
+    """Per-message CBC-MAC input (B0 then A-prefix then payload), exactly
+    mirroring CCMtag (micro_aes.c:1222-1256).  Returns (b0, blocks)."""
+    m = iv0.copy()
+    m[0] |= (tag_len - 2) << 2
+    v, i = len(pt), 15
+    while True:
+        m[i] ^= v & 0xFF
+        v >>= 8
+        i -= 1
+        if not v:
+            break
+    segments = []
+    alen = len(aad)
+    if alen:
+        m[0] |= 0x40
+        a = np.zeros(BLOCK, np.uint8)
+        p = 1
+        if alen > 0xFEFF:
+            p += 4
+            a[0], a[1] = 0xFF, 0xFE
+        v, i = alen, p
+        while True:
+            a[i] ^= v & 0xFF
+            v >>= 8
+            i -= 1
+            if not v:
+                break
+        p += 1
+        s = BLOCK - p
+        a[p: p + min(alen, s)] = aad[:s]
+        segments.append(a[None, :])
+        if alen > s:
+            rest = aad[s:]
+            nb = (len(rest) + BLOCK - 1) // BLOCK
+            padded = np.zeros((nb, BLOCK), np.uint8)
+            padded.reshape(-1)[: len(rest)] = rest
+            segments.append(padded)
+    # (no-AAD: the reference folds one zero A-block from the RAW B0 —
+    # i.e. exactly E(B0), which the batched init already is)
+    if len(pt):
+        nb = (len(pt) + BLOCK - 1) // BLOCK
+        padded = np.zeros((nb, BLOCK), np.uint8)
+        padded.reshape(-1)[: len(pt)] = pt
+        segments.append(padded)
+    if not segments:
+        return m, np.zeros((0, BLOCK), np.uint8)
+    return m, np.concatenate(segments, axis=0)
+
+
+def _ccm_tags_batch(rks, iv0s, aads, pts, tag_len: int) -> np.ndarray:
+    from .ccm import _iv0  # noqa: F401  (doc anchor)
+
+    B = len(pts)
+    b0s = np.zeros((B, BLOCK), np.uint8)
+    blists = []
+    for i in range(B):
+        b0, blocks = _ccm_mac_blocks(iv0s[i], aads[i], pts[i], tag_len)
+        b0s[i] = b0
+        blists.append(blocks)
+    inits = _enc1_batch(rks, b0s)
+    m = max(b.shape[0] for b in blists)
+    blocks = np.zeros((B, m, BLOCK), np.uint8)
+    nv = np.zeros(B, np.int32)
+    for i, b in enumerate(blists):
+        blocks[i, : b.shape[0]] = b
+        nv[i] = b.shape[0]
+    macs = np.asarray(cbcmac_fold_batch(rks, jnp.asarray(inits),
+                                        jnp.asarray(blocks), jnp.asarray(nv)))
+    return _enc1_batch(rks, iv0s) ^ macs
+
+
+def ccm_encrypt_batch(keys, nonces, aads, pts, nonce_len: int | None = None,
+                      tag_len: int = 16) -> list[bytes]:
+    """AES-CCM over B independent messages, batched device folds.
+    nonce_len=None uses each nonce's own length (the VNT corpora mix
+    7..13-byte nonces in one file)."""
+    from .ccm import _iv0
+
+    B = len(keys)
+    rks = jnp.asarray(stack_round_keys(keys))
+    aads = [to_u8(x) for x in aads]
+    pts = [to_u8(x) for x in pts]
+    iv0s = np.stack([
+        _iv0(to_u8(n)[:nonce_len] if nonce_len else to_u8(n))
+        for n in nonces])
+
+    tags = _ccm_tags_batch(rks, iv0s, aads, pts, tag_len)
+    nks = max(((len(p) + BLOCK - 1) // BLOCK for p in pts), default=0)
+    if nks:
+        ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 1, "be"))(
+            jnp.asarray(iv0s))
+        ks = np.asarray(_enc_vmap(rks, ctrs))
+    cts = [bytes(p ^ ks[i].reshape(-1)[: len(p)]) if len(p) else b""
+           for i, p in enumerate(pts)]
+    return [cts[i] + bytes(tags[i][:tag_len]) for i in range(B)]
+
+
+def ccm_decrypt_batch(keys, nonces, aads, ct_tags,
+                      nonce_len: int | None = None,
+                      tag_len: int = 16) -> list[bytes | None]:
+    """Batched CCM open (decrypt-then-verify per the reference ordering,
+    micro_aes.c:1304-1312, constant-time compares)."""
+    from ..utils.bytesio import verify_tag
+    from .ccm import _iv0
+
+    B = len(keys)
+    rks = jnp.asarray(stack_round_keys(keys))
+    aads = [to_u8(x) for x in aads]
+    data = [to_u8(x) for x in ct_tags]
+    cts = [d[: len(d) - tag_len] for d in data]
+    tags = [bytes(d[len(d) - tag_len:]) for d in data]
+    iv0s = np.stack([
+        _iv0(to_u8(n)[:nonce_len] if nonce_len else to_u8(n))
+        for n in nonces])
+
+    nks = max(((len(c) + BLOCK - 1) // BLOCK for c in cts), default=0)
+    if nks:
+        ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 1, "be"))(
+            jnp.asarray(iv0s))
+        ks = np.asarray(_enc_vmap(rks, ctrs))
+    pts = [(c ^ ks[i].reshape(-1)[: len(c)]) if len(c)
+           else np.zeros(0, np.uint8) for i, c in enumerate(cts)]
+    expects = _ccm_tags_batch(rks, iv0s, aads, pts, tag_len)
+    out: list[bytes | None] = []
+    for i in range(B):
+        if not verify_tag(expects[i][:tag_len], tags[i]):
+            out.append(None)
+            continue
+        out.append(bytes(pts[i]))
+    return out

@@ -142,6 +142,44 @@ def _cipher_rounds(rounds: int, kp, p):
     return p
 
 
+def _shift_rows_rm_inv(x):
+    """Inverse ShiftRows on an rm-layout plane (groups roll right by r)."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    return jnp.concatenate(
+        [x[0:4, :]] + [_pltpu.roll(x[4 * r: 4 * (r + 1), :], r, 0)
+                       for r in (1, 2, 3)], axis=0)
+
+
+def _inv_mix_columns_rm(p):
+    """InvMixColumns on rm-layout planes (full-rotation row selections)."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    x2 = _xtime_planes(p)
+    x4 = _xtime_planes(x2)
+    x8 = _xtime_planes(x4)
+    m9 = [x8[b] ^ p[b] for b in range(8)]
+    mb = [x8[b] ^ x2[b] ^ p[b] for b in range(8)]
+    md = [x8[b] ^ x4[b] ^ p[b] for b in range(8)]
+    me = [x8[b] ^ x4[b] ^ x2[b] for b in range(8)]
+    return [me[b]
+            ^ _pltpu.roll(mb[b], 12, 0)
+            ^ _pltpu.roll(md[b], 8, 0)
+            ^ _pltpu.roll(m9[b], 4, 0) for b in range(8)]
+
+
+def _cipher_rounds_dec(rounds: int, kp, p):
+    """Bitsliced AES DECRYPT rounds on rm-layout planes."""
+    p = [p[b] ^ _key_slice(kp, rounds, b) for b in range(8)]
+    for r in range(rounds - 1, -1, -1):
+        p = [_shift_rows_rm_inv(x) for x in p]
+        p = sbox_planes(p, False)
+        p = [p[b] ^ _key_slice(kp, r, b) for b in range(8)]
+        if r != 0:
+            p = _inv_mix_columns_rm(p)
+    return p
+
+
 def _kp_rm(kp_flat):
     """Permute the key-plane rows from byte-position order to rm order
     (one tiny static gather, outside the kernel)."""
@@ -205,11 +243,13 @@ def _ctr_math(rounds: int, kp, j0c, lohi, x128):
     return out128
 
 
-def _ctrw_math(rounds: int, kp, ctrw128, x128):
-    """CTR with counter blocks provided as stream words (any counter
-    convention: the caller builds the [W, 128] counter stream with plain
-    vector math).  Butterflies counters into planes, runs the rounds,
-    xors.  Both streams use the transposed row layout of _xor_stream."""
+def _ctrw_math(rounds: int, kp, ctrw128, x128, decrypt: bool = False):
+    """Cipher-and-xor with blocks provided as stream words: returns
+    E_K(ctrw) ^ x (or D_K(ctrw) ^ x when decrypt) — this one primitive
+    backs counter modes (ctrw = counters, x = data) AND the XEX family
+    (ctrw = data ^ offset, x = offset: OCB/XTS bodies).  Butterflies the
+    blocks into planes, runs the rounds, xors.  Both streams use the
+    transposed row layout of _xor_stream."""
     p = [[None] * 16 for _ in range(8)]
     for k in range(4):
         rows = [ctrw128[4 * j + k: 4 * j + k + 1, :] for j in range(32)]
@@ -217,7 +257,7 @@ def _ctrw_math(rounds: int, kp, ctrw128, x128):
         for r in range(32):
             p[r % 8][int(_RM[4 * k + r // 8])] = tr[r]
     p = [jnp.concatenate(pb, axis=0) for pb in p]
-    p = _cipher_rounds(rounds, kp, p)
+    p = (_cipher_rounds_dec if decrypt else _cipher_rounds)(rounds, kp, p)
     out128, _ = _xor_stream(p, x128, False)
     return out128
 
@@ -242,10 +282,92 @@ def _ctr_kernel(rounds: int, kp_ref, j0c_ref, lohi_ref, ptw_ref, ctw_ref):
         _ctr_math(rounds, kp_ref, j0c_ref, lohi_ref[:], x128))
 
 
-def _ctrw_kernel(rounds: int, kp_ref, ctrw_ref, ptw_ref, ctw_ref):
+def _ctrw_kernel(rounds: int, decrypt: bool, kp_ref, ctrw_ref, ptw_ref,
+                 ctw_ref):
     ctw_ref[:] = jnp.transpose(_ctrw_math(
         rounds, kp_ref, jnp.transpose(ctrw_ref[:]),
-        jnp.transpose(ptw_ref[:])))
+        jnp.transpose(ptw_ref[:]), decrypt))
+
+
+def _ocb_offsets(nbits: int, row0, tile: int, d0l, lbl):
+    """OCB Δ-offsets as a [TILE, 128] u32 stream tile: block index
+    i = 32*(row0+row) + lane//4 + 1, Δ_i = Δ_0 ^ XOR over set bits b of
+    gray(i) of L_b (the gray-code form of the reference's getDelta ladder,
+    micro_aes.c:1662-1680).  d0l/lbl are lane-replicated word tables."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (tile, 128), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.uint32, (tile, 128), 1)
+    i = 32 * (rows + row0.astype(jnp.uint32)) + lanes // 4 + 1
+    g = i ^ (i >> 1)
+    offs = jnp.broadcast_to(d0l[0:1, :], (tile, 128))
+    for b in range(nbits):
+        mask = jnp.uint32(0) - ((g >> b) & 1)
+        offs = offs ^ (mask & lbl[b: b + 1, :])
+    return offs
+
+
+def _ocb_kernel(rounds: int, decrypt: bool, nbits: int, kp_ref, d0l_ref,
+                lbl_ref, ptw_ref, ctw_ref):
+    tile = ptw_ref.shape[0]
+    row0 = pl.program_id(0) * tile
+    offs = _ocb_offsets(nbits, jnp.uint32(row0), tile, d0l_ref[:],
+                        lbl_ref[:])
+    x = ptw_ref[:] ^ offs
+    out128 = _ctrw_math(rounds, kp_ref, jnp.transpose(x),
+                        jnp.transpose(offs), decrypt)
+    ctw_ref[:] = jnp.transpose(out128)
+
+
+@functools.partial(jax.jit, static_argnames=("decrypt", "nbits"))
+def ocb_fused(kp_flat, d0l, lbl, pt_words, nbits: int,
+              decrypt: bool = False):
+    """Fused OCB body: out = Δ ^ E_K(in ^ Δ) (D_K when decrypt), offsets
+    generated in VMEM from the gray-code select.  pt_words is the
+    w-major u32[W, 128] stream with block index = stream position + 1;
+    d0l u32[1,128] / lbl u32[nbits,128] are lane-replicated Δ_0 and L_b
+    word tables (lane l holds word l%4)."""
+    rounds = kp_flat.shape[0] // 128 - 1
+    w = pt_words.shape[0]
+    assert w % SEAL_TILE_W == 0
+    return pl.pallas_call(
+        functools.partial(_ocb_kernel, rounds, decrypt, nbits),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((w, 128), jnp.uint32),
+        grid=(w // SEAL_TILE_W,),
+        in_specs=[
+            pl.BlockSpec((kp_flat.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lbl.shape[0], 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(_kp_rm(kp_flat), d0l, lbl, pt_words)
+
+
+@functools.partial(jax.jit, static_argnames=("decrypt", "nbits"))
+def ocb_fused_jnp(kp_flat, d0l, lbl, pt_words, nbits: int,
+                  decrypt: bool = False):
+    """jnp twin of ocb_fused (vectorized offsets + plane cipher)."""
+    w = pt_words.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (w, 128), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.uint32, (w, 128), 1)
+    i = 32 * rows + lanes // 4 + 1
+    g = i ^ (i >> 1)
+    offs = jnp.broadcast_to(d0l[0:1, :], (w, 128))
+    for b in range(nbits):
+        mask = jnp.uint32(0) - ((g >> b) & 1)
+        offs = offs ^ (mask & lbl[b: b + 1, :])
+    return ctrw_fused_jnp(kp_flat, pt_words ^ offs, offs, decrypt=decrypt)
+
+
+def ocb_fused_auto(kp_flat, d0l, lbl, pt_words, nbits: int,
+                   decrypt: bool = False):
+    fn = ocb_fused if jax.default_backend() == "tpu" else ocb_fused_jnp
+    return fn(kp_flat, d0l, lbl, pt_words, nbits, decrypt=decrypt)
 
 
 # ---------------------------------------------------------------------------
@@ -257,15 +379,17 @@ def _ctrw_kernel(rounds: int, kp_ref, ctrw_ref, ptw_ref, ctw_ref):
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def ctrw_fused(kp_flat, ctr_words, pt_words):
-    """Fused CTR with caller-supplied counter stream [W, 128] (LE32
-    conventions, preset counters, SIV variants...)."""
+@functools.partial(jax.jit, static_argnames=("decrypt",))
+def ctrw_fused(kp_flat, ctr_words, pt_words, decrypt: bool = False):
+    """Fused cipher-and-xor with caller-supplied block stream [W, 128]:
+    counter modes (LE32 conventions, preset counters, SIV variants) and
+    XEX bodies (OCB/XTS: blocks = data ^ offsets, xor = offsets;
+    decrypt=True runs the inverse cipher for their open direction)."""
     rounds = kp_flat.shape[0] // 128 - 1
     w = ctr_words.shape[0]
     assert w % SEAL_TILE_W == 0
     return pl.pallas_call(
-        functools.partial(_ctrw_kernel, rounds),
+        functools.partial(_ctrw_kernel, rounds, decrypt),
         interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((w, 128), jnp.uint32),
         grid=(w // SEAL_TILE_W,),
@@ -459,15 +583,21 @@ def ctr_fused_jnp(kp_flat, j0_const, lohi, pt_words):
     return _kwords_to_stream(planes_to_words(in_planes ^ ks))
 
 
-@jax.jit
-def ctrw_fused_jnp(kp_flat, ctr_words, pt_words):
+@functools.partial(jax.jit, static_argnames=("decrypt",))
+def ctrw_fused_jnp(kp_flat, ctr_words, pt_words, decrypt: bool = False):
     """jnp twin of ctrw_fused (vectorized form, see seal_fused_jnp)."""
-    from ..core.bitslice import encrypt_planes, planes_to_words, words_to_planes
+    from ..core.bitslice import (
+        decrypt_planes,
+        encrypt_planes,
+        planes_to_words,
+        words_to_planes,
+    )
 
     rounds = kp_flat.shape[0] // 128 - 1
     kp = kp_flat.reshape(rounds + 1, 8, 16)
     ctr_planes = words_to_planes(_stream_to_kwords(ctr_words))
-    ks = encrypt_planes(kp, ctr_planes)
+    cipher = decrypt_planes if decrypt else encrypt_planes
+    ks = cipher(kp, ctr_planes)
     in_planes = words_to_planes(_stream_to_kwords(pt_words))
     return _kwords_to_stream(planes_to_words(in_planes ^ ks))
 
@@ -482,10 +612,10 @@ def seal_fused_auto(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
               bits_from_input=bits_from_input)
 
 
-def ctrw_fused_auto(kp_flat, ctr_words, pt_words):
-    """Backend dispatch for the counter-words CTR engine."""
+def ctrw_fused_auto(kp_flat, ctr_words, pt_words, decrypt: bool = False):
+    """Backend dispatch for the block-stream cipher-and-xor engine."""
     fn = ctrw_fused if jax.default_backend() == "tpu" else ctrw_fused_jnp
-    return fn(kp_flat, ctr_words, pt_words)
+    return fn(kp_flat, ctr_words, pt_words, decrypt=decrypt)
 
 
 def bytes_to_stream(blocks, front_pos: int, w: int):
