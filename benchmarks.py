@@ -142,6 +142,24 @@ def bench_modes(selected):
             return c + out[0].astype(jnp.uint32)
         _emit("Poly1305 fold", _marginal_rate(loop_of(step), words0, nbytes))
 
+    if "fpe" in selected:
+        from micro_aes_tpu.fpe.device import fpe_encrypt_batch
+
+        rng = np.random.default_rng(3)
+        ntok = 10_000
+        toks = ["".join("0123456789"[d] for d in rng.integers(0, 10, 16))
+                for _ in range(ntok)]
+        run = lambda ts_: fpe_encrypt_batch(key16, b"\x01\x02", ts_,
+                                            "digits", "ff1")
+        run(toks)  # compile + warm (same batch shape)
+        ts = []
+        for k in range(3):
+            t0 = time.time()
+            run(toks)
+            ts.append(time.time() - t0)
+        _emit("FF1 encrypt (10k tokens, digits len16)",
+              ntok / sorted(ts)[1], unit="tokens/s")
+
     if "cipher" in selected:
         from micro_aes_tpu.ops.pallas_cipher import TILE_W, cipher_planes_auto
 
@@ -223,7 +241,7 @@ def main(argv=None):
                         help="run the sharded scaling harness instead")
     parser.add_argument("--modes", nargs="*",
                         default=["gcm-seal", "gcm-open", "ctr", "ocb-seal",
-                                 "ocb-open", "poly1305", "cipher"])
+                                 "ocb-open", "poly1305", "fpe", "cipher"])
     args = parser.parse_args(argv)
     if args.mesh:
         bench_mesh()

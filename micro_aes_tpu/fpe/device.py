@@ -1,0 +1,339 @@
+"""Device-side FPE: batched FF1/FF3/FF3-1 with TPU-native radix bignums.
+
+This is the bulk engine the host paths (ff1.py / ff3.py) cannot be: N
+tokens encrypt in ONE jitted dispatch.  The reference's arbitrary-
+precision numeral arithmetic (numRadix/strRadix/numstrAdd/numstrSub,
+micro_aes.c:2039-2088) is re-designed for the TPU instead of translated:
+
+* NUM_radix(digits) -> bytes becomes a single small matmul against a
+  precomputed power table (byte limbs of radix^j) followed by ONE
+  base-256 carry-propagation scan — no per-digit bignum loop.
+* bytes -> digits mod radix^m (the y of each Feistel round, SP 800-38G
+  step 6c) becomes a matmul against digit vectors of 256^j mod radix^m,
+  FUSED with the numstrAdd/Sub: one base-radix carry scan yields
+  (NUM(A) ± y) mod radix^m directly.  The mod is free (drop the carry).
+* The per-round PRF (CBC-MAC over P||Q, micro_aes.c:2091-2114) runs as a
+  short chain of batched single-block encrypts; the S-expansion blocks
+  E(R ^ [j]) are one batched encrypt.
+
+All shapes are static per (radix, token length, tweak length) and the
+Feistel runs as a lax.fori_loop over DOUBLE-rounds: one round pair
+restores the (u, v) half shapes, so the loop body traces once instead of
+10 (FF1) / 8 (FF3) unrolled rounds — compile time, not correctness, is
+why.  The AES oracle inside is likewise lax.scan'd over its rounds.
+The batch axis is where the parallelism lives.  Bit-exactness is
+asserted against the host oracle and the reference tv corpus in
+tests/test_fpe_device.py.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.cipher import _SBOX_J, SHIFT_PERM, _mix_columns
+from ..core.keyschedule import expand_key
+from ..errors import DecryptionError, EncryptionError
+from .alphabet import resolve_alphabet
+from .ff3 import _split_tweak
+
+# Device bignums use byte-limb products in int32; radix must fit a byte
+# times a byte times the digit count.  Every reference alphabet (radix
+# <= 95) qualifies; exotic wide alphabets fall back to the host path.
+MAX_DEVICE_RADIX = 256
+
+
+def encrypt_blocks(round_keys, blocks):
+    """Batched single-block AES with rounds under lax.scan — same math as
+    core.cipher.encrypt_blocks, but the round body traces ONCE.  The FPE
+    Feistel makes ~10-30 cipher calls per program; the unrolled oracle
+    made each a full inlined circuit and compile time (not runtime) was
+    the casualty."""
+    rounds = round_keys.shape[0] - 1
+    s = blocks ^ round_keys[0]
+
+    def body(st, rk):
+        st = jnp.take(_SBOX_J, st)[..., SHIFT_PERM]
+        shape = st.shape
+        st = _mix_columns(st.reshape(shape[:-1] + (4, 4))).reshape(shape)
+        return st ^ rk, None
+
+    s, _ = jax.lax.scan(body, s, round_keys[1:rounds])
+    return jnp.take(_SBOX_J, s)[..., SHIFT_PERM] ^ round_keys[rounds]
+
+
+# ---------------------------------------------------------------------------
+# Power tables (host ints -> constants folded into the jitted program)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=512)
+def _num_table(radix: int, length: int, nbytes: int, msd_first: bool):
+    """U[j, l] = byte l (LSB first) of radix^e(j), e = length-1-j for
+    MSD-first digit input, j for LSD-first.  digits @ U followed by a
+    base-256 carry scan is NUM_radix (micro_aes.c:2039-2052)."""
+    u = np.zeros((length, nbytes), np.int32)
+    for j in range(length):
+        e = length - 1 - j if msd_first else j
+        p = pow(radix, e)
+        for l in range(nbytes):
+            u[j, l] = (p >> (8 * l)) & 0xFF
+    return u
+
+
+@functools.lru_cache(maxsize=512)
+def _ydig_table(radix: int, nbytes: int, m: int):
+    """V[j, p] = digit p (LSD first) of 256^(nbytes-1-j) mod radix^m, so
+    S_bytes(BE) @ V accumulates y mod radix^m in positional radix form
+    (normalized by the same carry scan that applies numstrAdd/Sub)."""
+    mod = pow(radix, m)
+    v = np.zeros((nbytes, m), np.int32)
+    for j in range(nbytes):
+        p = pow(256, nbytes - 1 - j, mod)
+        for k in range(m):
+            v[j, k] = p % radix
+            p //= radix
+    return v
+
+
+def _carry_scan(acc, base: int):
+    """Normalize positional LSD-first int32 values [B, L] into digits in
+    [0, base); the final carry is dropped (i.e. result is mod base^L).
+    floor-division carries make one scan serve add AND subtract."""
+    def step(carry, a):
+        t = a + carry
+        q = jnp.floor_divide(t, base)
+        return q, t - q * base
+
+    _, out = jax.lax.scan(step, jnp.zeros(acc.shape[0], jnp.int32),
+                          jnp.swapaxes(acc, 0, 1))
+    return jnp.swapaxes(out, 0, 1)
+
+
+def _num_bytes(h, radix: int, nbytes: int, msd_first: bool):
+    """NUM_radix as matmul + carry scan -> LSB-first byte limbs [B, nbytes]."""
+    u = jnp.asarray(_num_table(radix, h.shape[1], nbytes, msd_first))
+    return _carry_scan(h.astype(jnp.int32) @ u, 256)
+
+
+# ---------------------------------------------------------------------------
+# FF1 (SP 800-38G §5.1; reference FF1_cipher micro_aes.c:2117-2147)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("radix", "n", "t", "encrypt"))
+def _ff1_device(rks, tweaks, x, radix: int, n: int, t: int, encrypt: bool):
+    u = n // 2
+    v = n - u
+    b = (math.ceil(v * math.log2(radix)) + 7) // 8
+    d = 4 * ((b + 3) // 4) + 4
+    qpad = (-t - b - 1) % 16
+    nq = (t + qpad + 1 + b) // 16
+    B = x.shape[0]
+
+    p_blk = np.frombuffer(
+        bytes([1, 2, 1]) + radix.to_bytes(3, "big") + bytes([10, u % 256])
+        + n.to_bytes(4, "big") + t.to_bytes(4, "big"), np.uint8)
+    e_p = encrypt_blocks(rks, jnp.asarray(p_blk)[None, :])  # CBC state after P
+
+    zpad = jnp.zeros((B, qpad), jnp.uint8)
+
+    def prf_y(half, m: int, round_i: int):
+        """One round's y accumulated as unnormalized radix-m digits."""
+        numb = _num_bytes(half, radix, b, msd_first=True)  # LSB-first
+        rb = jnp.full((B, 1), round_i, jnp.uint8)
+        q = jnp.concatenate(
+            [tweaks, zpad, rb, jnp.flip(numb, 1).astype(jnp.uint8)],
+            axis=1).reshape(B, nq, 16)
+        acc = jnp.broadcast_to(e_p, (B, 16))
+        for k in range(nq):
+            acc = encrypt_blocks(rks, acc ^ q[:, k])
+        s = acc
+        if d > 16:
+            nxb = (d - 1) // 16
+            xs = jnp.stack(
+                [acc ^ jnp.asarray(np.frombuffer(j.to_bytes(16, "big"),
+                                                 np.uint8))
+                 for j in range(1, nxb + 1)], axis=1)
+            ext = encrypt_blocks(rks, xs.reshape(B * nxb, 16))
+            s = jnp.concatenate([acc, ext.reshape(B, nxb * 16)], axis=1)
+        vt = jnp.asarray(_ydig_table(radix, d, m))
+        return s[:, :d].astype(jnp.int32) @ vt
+
+    def enc_round(a, bb, m: int, i):
+        yacc = prf_y(bb, m, i)
+        c = _carry_scan(jnp.flip(a, 1).astype(jnp.int32) + yacc, radix)
+        return bb, jnp.flip(c, 1)
+
+    def dec_round(a, bb, m: int, i):
+        yacc = prf_y(a, m, i)
+        c = _carry_scan(jnp.flip(bb, 1).astype(jnp.int32) - yacc, radix)
+        return jnp.flip(c, 1), a
+
+    # A round PAIR restores the (u, v) half shapes, so fori_loop over 5
+    # double-rounds traces the body once (vs 10 unrolled rounds).
+    a, bb = x[:, :u], x[:, u:]
+    if encrypt:
+        def dbl(j, st):
+            a, bb = enc_round(*st, u, 2 * j)
+            return enc_round(a, bb, v, 2 * j + 1)
+    else:
+        def dbl(j, st):
+            a, bb = dec_round(*st, v, 9 - 2 * j)
+            return dec_round(a, bb, u, 8 - 2 * j)
+    a, bb = jax.lax.fori_loop(0, 5, dbl, (a, bb))
+    return jnp.concatenate([a, bb], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# FF3 / FF3-1 (SP 800-38G §5.2; reference FF3_cipher micro_aes.c:2218-2248)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("radix", "n", "encrypt"))
+def _ff3_device(rks_rev, tl, tr, x, radix: int, n: int, encrypt: bool):
+    """FF3 halves live MSD-first at the boundary but every NUM/STR in the
+    spec reverses them first — NUM(REV(h)) = sum h[j]*radix^j, i.e. the
+    boundary array read LSD-first.  So device-side the halves are used
+    as-is with LSD-first tables and no data movement."""
+    u, v = (n + 1) // 2, n - (n + 1) // 2
+    B = x.shape[0]
+    rev16 = jnp.arange(15, -1, -1)
+
+    i_lane = (jnp.arange(4) == 3).astype(jnp.uint8)
+
+    def round_y(half, m: int, even: bool, i):
+        numb = _num_bytes(half, radix, 12, msd_first=False)
+        w = tr if even else tl
+        p = jnp.concatenate(
+            [w ^ i_lane * i.astype(jnp.uint8),
+             jnp.flip(numb, 1).astype(jnp.uint8)], axis=1)
+        s = encrypt_blocks(rks_rev, p[:, rev16])[:, rev16]
+        vt = jnp.asarray(_ydig_table(radix, 16, m))
+        return s.astype(jnp.int32) @ vt
+
+    def enc_round(a, bb, m: int, even: bool, i):
+        yacc = round_y(bb, m, even, i)
+        return bb, _carry_scan(a.astype(jnp.int32) + yacc, radix)
+
+    def dec_round(a, bb, m: int, even: bool, i):
+        yacc = round_y(a, m, even, i)
+        return _carry_scan(bb.astype(jnp.int32) - yacc, radix), a
+
+    # fori_loop over double-rounds: shapes are (u, v)-periodic (see FF1)
+    a, bb = x[:, :u], x[:, u:]
+    if encrypt:
+        def dbl(j, st):
+            a, bb = enc_round(*st, u, True, 2 * j)
+            return enc_round(a, bb, v, False, 2 * j + 1)
+    else:
+        def dbl(j, st):
+            a, bb = dec_round(*st, v, False, 7 - 2 * j)
+            return dec_round(a, bb, u, True, 6 - 2 * j)
+    a, bb = jax.lax.fori_loop(0, 4, dbl, (a, bb))
+    return jnp.concatenate([a, bb], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Batched front-end (groups tokens by length -> one dispatch per group)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _rks(key: bytes):
+    return jnp.asarray(expand_key(key))
+
+
+@functools.lru_cache(maxsize=64)
+def _ascii_luts(chars: str):
+    """(char->digit, digit->char) numpy LUTs for pure-ASCII alphabets, or
+    None — the vectorized codec for the bulk path (the per-char
+    chars.index of FPE_cipher's boundary, micro_aes.c:2287-2303, is
+    host-Python cost that would dwarf the device work at 10k tokens)."""
+    if any(ord(c) > 126 for c in chars):
+        return None
+    enc = np.full(128, -1, np.int32)
+    for i, c in enumerate(chars):
+        enc[ord(c)] = i
+    dec = np.frombuffer(chars.encode("ascii"), np.uint8)
+    return enc, dec
+
+
+def _fpe_batch(key, tweak, tokens, alphabet, method: str,
+               encrypt: bool) -> list[str]:
+    alpha = resolve_alphabet(alphabet)
+    method = method.lower()
+    err = EncryptionError if encrypt else DecryptionError
+    if alpha.radix > MAX_DEVICE_RADIX:
+        from . import fpe_decrypt, fpe_encrypt  # host fallback
+
+        fn = fpe_encrypt if encrypt else fpe_decrypt
+        return [fn(key, tweak, tok, alpha, method) for tok in tokens]
+
+    key = bytes(key)
+    tweak = bytes(tweak) if tweak else b""
+    tokens = [str(t) for t in tokens]
+    for tok in tokens:
+        if len(tok) < alpha.min_len:
+            raise err(f"input shorter than MINLEN={alpha.min_len}")
+        if method in ("ff3", "ff3-1") and len(tok) > alpha.max_len_ff3():
+            raise err(f"input longer than MAXLEN={alpha.max_len_ff3()}")
+
+    groups: dict[int, list[int]] = {}
+    for i, tok in enumerate(tokens):
+        groups.setdefault(len(tok), []).append(i)
+    luts = _ascii_luts(alpha.chars)
+
+    out: list[str | None] = [None] * len(tokens)
+    for n, idxs in groups.items():
+        joined = "".join(tokens[i] for i in idxs)
+        if luts is not None and joined.isascii():
+            codes = np.frombuffer(joined.encode("ascii"), np.uint8)
+            x = luts[0][codes].reshape(len(idxs), n)
+            if (x < 0).any():
+                raise err("invalid character for alphabet")
+        else:
+            try:
+                x = np.asarray([alpha.encode(tokens[i]) for i in idxs],
+                               np.int32)
+            except EncryptionError:
+                raise err("invalid character for alphabet")
+        if method == "ff1":
+            tw = np.broadcast_to(np.frombuffer(tweak, np.uint8),
+                                 (len(idxs), len(tweak)))
+            res = _ff1_device(_rks(key), jnp.asarray(tw), jnp.asarray(x),
+                              alpha.radix, n, len(tweak), encrypt)
+        elif method in ("ff3", "ff3-1"):
+            tl, tr = _split_tweak(tweak)
+            tlb = np.broadcast_to(np.frombuffer(tl, np.uint8), (len(idxs), 4))
+            trb = np.broadcast_to(np.frombuffer(tr, np.uint8), (len(idxs), 4))
+            res = _ff3_device(_rks(bytes(reversed(key))), jnp.asarray(tlb),
+                              jnp.asarray(trb), jnp.asarray(x),
+                              alpha.radix, n, encrypt)
+        else:
+            raise ValueError(f"unknown FPE method {method!r}")
+        res = np.asarray(res)
+        if luts is not None:
+            flat = luts[1][res.reshape(-1)].tobytes().decode("ascii")
+            for k, i in enumerate(idxs):
+                out[i] = flat[k * n: (k + 1) * n]
+        else:
+            for k, i in enumerate(idxs):
+                out[i] = alpha.decode(res[k])
+    return out  # type: ignore[return-value]
+
+
+def fpe_encrypt_batch(key, tweak, plaintexts, alphabet="digits",
+                      method: str = "ff1") -> list[str]:
+    """AES_FPE_encrypt over N tokens in one device dispatch per distinct
+    token length (micro_aes.c:2326-2331, batched)."""
+    return _fpe_batch(key, tweak, plaintexts, alphabet, method, True)
+
+
+def fpe_decrypt_batch(key, tweak, ciphertexts, alphabet="digits",
+                      method: str = "ff1") -> list[str]:
+    """AES_FPE_decrypt over N tokens, batched (micro_aes.c:2343-2348)."""
+    return _fpe_batch(key, tweak, ciphertexts, alphabet, method, False)

@@ -457,3 +457,179 @@ def ccm_decrypt_batch(keys, nonces, aads, ct_tags,
             continue
         out.append(bytes(pts[i]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Batched SIV (RFC 5297) + KW (RFC 3394): the last per-message-only modes
+# get device-batched folds (S2V as staged CMAC batches; KW wheels vmapped)
+# ---------------------------------------------------------------------------
+
+
+def _cmac_batch(rks, datas: list[np.ndarray]) -> np.ndarray:
+    """Batched standard CMAC (init 0, K1/K2 last-block tweak — cMac,
+    micro_aes.c:576-590) over B independent byte strings."""
+    from ..ops.mac import double_be_np
+
+    B = len(datas)
+    L = _enc1_batch(rks, np.zeros((B, BLOCK), np.uint8))
+    k1 = double_be_np(L)
+    k2 = double_be_np(k1)
+    m = max((max((len(d) - 1) // BLOCK + 1, 1) for d in datas), default=1)
+    blocks = np.zeros((B, m, BLOCK), np.uint8)
+    nv = np.zeros(B, np.int32)
+    for i, d in enumerate(datas):
+        n = len(d)
+        s = (n - 1) % BLOCK + 1 if n else 0
+        nb = (n - s) // BLOCK
+        if nb:
+            blocks[i, :nb] = d[: n - s].reshape(nb, BLOCK)
+        last = np.zeros(BLOCK, np.uint8)
+        last[:s] = d[n - s:]
+        if s < BLOCK:
+            last[s] ^= 0x80
+            last ^= k2[i]
+        else:
+            last ^= k1[i]
+        blocks[i, nb] = last
+        nv[i] = nb + 1
+    return np.asarray(cbcmac_fold_batch(
+        rks, jnp.zeros((B, BLOCK), jnp.uint8),
+        jnp.asarray(blocks), jnp.asarray(nv)))
+
+
+def _s2v_batch(rks1, aads: list[np.ndarray],
+               pts: list[np.ndarray]) -> np.ndarray:
+    """Batched S2V (micro_aes.c:1324-1360): three staged CMAC batches
+    (Y0, AAD macs, final xorend/pad fold) with host glue between."""
+    from ..ops.mac import double_be_np
+
+    B = len(pts)
+    y0 = _cmac_batch(rks1, [np.zeros(BLOCK, np.uint8)] * B)
+    amac = _cmac_batch(rks1, aads)
+    has_aad = np.array([len(a) > 0 for a in aads])[:, None]
+    y = np.where(has_aad, double_be_np(y0) ^ amac, y0)
+    finals = []
+    for i, p in enumerate(pts):
+        if len(p) < BLOCK:
+            pad = np.zeros(BLOCK, np.uint8)
+            pad[: len(p)] = p
+            pad[len(p)] = 0x80
+            finals.append(double_be_np(y[i]) ^ pad)
+        else:
+            d = p.copy()
+            d[-BLOCK:] ^= y[i]
+            finals.append(d)
+    return _cmac_batch(rks1, finals)
+
+
+def _siv_split(keys) -> tuple[list[bytes], list[bytes]]:
+    keys = [bytes(k) for k in keys]
+    return ([k[: len(k) // 2] for k in keys],
+            [k[len(k) // 2:] for k in keys])
+
+
+def _siv_keystreams(rks2, ivs: np.ndarray, lens: list[int]):
+    """SIV-convention CTR keystreams (bits 63/31 cleared, BE count —
+    micro_aes.c:931-934) for B messages."""
+    bases = ivs.copy()
+    bases[:, 8] &= 0x7F
+    bases[:, 12] &= 0x7F
+    nks = max(((n + BLOCK - 1) // BLOCK for n in lens), default=0)
+    if not nks:
+        return None
+    ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 0, "be"))(
+        jnp.asarray(bases))
+    return np.asarray(_enc_vmap(rks2, ctrs))
+
+
+def siv_encrypt_batch(keys, aads, pts) -> list[tuple[bytes, bytes]]:
+    """AES_SIV_encrypt (micro_aes.c:1372-1381) over B messages: returns
+    (iv, ct) pairs; keys are K1||K2 concatenations as in the scalar API
+    and (like the other batch engines) must share one key size per call."""
+    k1s, k2s = _siv_split(keys)
+    rks1 = jnp.asarray(stack_round_keys(k1s))
+    rks2 = jnp.asarray(stack_round_keys(k2s))
+    aads = [to_u8(a) for a in aads]
+    pts = [to_u8(p) for p in pts]
+    ivs = _s2v_batch(rks1, aads, pts)
+    ks = _siv_keystreams(rks2, ivs, [len(p) for p in pts])
+    return [(bytes(ivs[i]),
+             bytes(p ^ ks[i].reshape(-1)[: len(p)]) if len(p) else b"")
+            for i, p in enumerate(pts)]
+
+
+def siv_decrypt_batch(keys, ivs, aads, cts) -> list[bytes | None]:
+    """Batched SIV open: decrypt, re-synthesize S2V, constant-time verify
+    (micro_aes.c:1394-1410); failed messages come back as None."""
+    from ..utils.bytesio import verify_tag
+
+    k1s, k2s = _siv_split(keys)
+    rks1 = jnp.asarray(stack_round_keys(k1s))
+    rks2 = jnp.asarray(stack_round_keys(k2s))
+    aads = [to_u8(a) for a in aads]
+    cts = [to_u8(c) for c in cts]
+    iv_arr = np.stack([to_u8(iv)[:BLOCK] for iv in ivs])
+    ks = _siv_keystreams(rks2, iv_arr, [len(c) for c in cts])
+    pts = [(c ^ ks[i].reshape(-1)[: len(c)]) if len(c)
+           else np.zeros(0, np.uint8) for i, c in enumerate(cts)]
+    expects = _s2v_batch(rks1, aads, pts)
+    return [bytes(pts[i]) if verify_tag(expects[i], iv_arr[i]) else None
+            for i in range(len(cts))]
+
+
+def key_wrap_batch(keks, secrets) -> list[bytes]:
+    """AES_KEY_wrap (micro_aes.c:1829-1855) over B secrets: the serial
+    6n-step wheels run vmapped — one dispatch per (semiblock count,
+    key size) group instead of per message."""
+    from ..errors import DataLengthError
+    from .kw import HB, _wrap_scan
+
+    secrets = [to_u8(s) for s in secrets]
+    keks = [bytes(k) for k in keks]
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, s in enumerate(secrets):
+        if len(s) < 2 * HB or len(s) % HB:
+            raise DataLengthError("KW secret must be >= 2 whole semi-blocks")
+        groups.setdefault((len(s) // HB, len(keks[i])), []).append(i)
+    out: list[bytes | None] = [None] * len(secrets)
+    for (n, _), idxs in groups.items():
+        rks = jnp.asarray(stack_round_keys([keks[i] for i in idxs]))
+        a0 = jnp.full((len(idxs), HB), 0xA6, jnp.uint8)
+        r0 = jnp.asarray(np.stack([secrets[i].reshape(n, HB)
+                                   for i in idxs]))
+        a, r = jax.vmap(lambda rk, av, rv: _wrap_scan(rk, av, rv, n))(
+            rks, a0, r0)
+        a, r = np.asarray(a), np.asarray(r)
+        for k, i in enumerate(idxs):
+            out[i] = bytes(a[k]) + bytes(r[k].reshape(-1))
+    return out  # type: ignore[return-value]
+
+
+def key_unwrap_batch(keks, wrappeds) -> list[bytes | None]:
+    """Batched KW unwrap with per-message 0xA6 ICV verification
+    (micro_aes.c:1889-1893); failures come back as None."""
+    from ..errors import DataLengthError
+    from ..utils.bytesio import verify_tag
+    from .kw import HB, _unwrap_scan
+
+    wrappeds = [to_u8(w) for w in wrappeds]
+    keks = [bytes(k) for k in keks]
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, w in enumerate(wrappeds):
+        if len(w) < 3 * HB or len(w) % HB:
+            raise DataLengthError("KW input must be >= 3 whole semi-blocks")
+        groups.setdefault((len(w) // HB - 1, len(keks[i])), []).append(i)
+    out: list[bytes | None] = [None] * len(wrappeds)
+    icv = np.full(HB, 0xA6, np.uint8)
+    for (n, _), idxs in groups.items():
+        rks = jnp.asarray(stack_round_keys([keks[i] for i in idxs]))
+        a0 = jnp.asarray(np.stack([wrappeds[i][:HB] for i in idxs]))
+        r0 = jnp.asarray(np.stack([wrappeds[i][HB:].reshape(n, HB)
+                                   for i in idxs]))
+        a, r = jax.vmap(lambda rk, av, rv: _unwrap_scan(rk, av, rv, n))(
+            rks, a0, r0)
+        a, r = np.asarray(a), np.asarray(r)
+        for k, i in enumerate(idxs):
+            out[i] = (bytes(r[k].reshape(-1))
+                      if verify_tag(icv, a[k]) else None)
+    return out

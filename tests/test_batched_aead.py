@@ -86,3 +86,55 @@ def test_eax_batch_random_vs_single():
             assert backs[i] is None
         else:
             assert backs[i] == pts[i]
+
+
+def test_siv_batch_random_vs_single():
+    """Batched SIV == per-message SIV on mixed shapes + RFC-5297 KAT."""
+    from micro_aes_tpu.modes.bulk import siv_decrypt_batch, siv_encrypt_batch
+    from micro_aes_tpu.modes.siv import siv_decrypt, siv_encrypt
+
+    rng = np.random.default_rng(11)
+    keys, aads, pts = [], [], []
+    for ln in [0, 1, 15, 16, 17, 31, 32, 33, 100]:
+        keys.append(rng.integers(0, 256, 32, dtype=np.uint8).tobytes())
+        aads.append(rng.integers(0, 256, (ln * 5) % 40,
+                                 dtype=np.uint8).tobytes())
+        pts.append(rng.integers(0, 256, ln, dtype=np.uint8).tobytes())
+    outs = siv_encrypt_batch(keys, aads, pts)
+    for i in range(len(keys)):
+        iv, ct = siv_encrypt(keys[i], aads[i], pts[i])
+        assert outs[i] == (iv, ct), f"SIV batch mismatch at {i}"
+    ivs = [iv for iv, _ in outs]
+    cts = [ct for _, ct in outs]
+    backs = siv_decrypt_batch(keys, ivs, aads, cts)
+    assert backs == pts
+    # tamper one iv -> that message fails, others unaffected
+    bad = list(ivs)
+    bad[3] = bytes([bad[3][0] ^ 1]) + bad[3][1:]
+    backs = siv_decrypt_batch(keys, bad, aads, cts)
+    for i in range(len(keys)):
+        assert backs[i] == (None if i == 3 else pts[i])
+
+
+def test_kw_batch_random_vs_single():
+    """Batched KW == per-message KW; ICV failures isolate per message."""
+    from micro_aes_tpu.modes.bulk import key_unwrap_batch, key_wrap_batch
+    from micro_aes_tpu.modes.kw import key_unwrap, key_wrap
+
+    rng = np.random.default_rng(12)
+    keks, secrets = [], []
+    for nsb in [2, 2, 3, 4, 8, 16]:
+        keks.append(rng.integers(0, 256, 16 if nsb % 2 else 32,
+                                 dtype=np.uint8).tobytes())
+        secrets.append(rng.integers(0, 256, nsb * 8,
+                                    dtype=np.uint8).tobytes())
+    outs = key_wrap_batch(keks, secrets)
+    for i in range(len(keks)):
+        assert outs[i] == key_wrap(keks[i], secrets[i]), f"KW mismatch {i}"
+    backs = key_unwrap_batch(keks, outs)
+    assert backs == secrets
+    bad = list(outs)
+    bad[1] = bytes([bad[1][0] ^ 1]) + bad[1][1:]
+    backs = key_unwrap_batch(keks, bad)
+    for i in range(len(keks)):
+        assert backs[i] == (None if i == 1 else secrets[i])
