@@ -1,0 +1,108 @@
+"""Multi-message batch engines (modes/chain_bulk) vs the per-message
+modes as oracle, across ragged lengths, CTS, padding, and mixed keys."""
+import numpy as np
+import pytest
+
+from micro_aes_tpu.errors import DataLengthError
+from micro_aes_tpu.modes import cbc, cfb, ctr, ecb, ofb
+from micro_aes_tpu.modes.chain_bulk import (
+    cbc_decrypt_batch,
+    cbc_encrypt_batch,
+    cfb_decrypt_batch,
+    cfb_encrypt_batch,
+    ctr_xcrypt_batch,
+    ecb_decrypt_batch,
+    ecb_encrypt_batch,
+    ofb_xcrypt_batch,
+)
+from micro_aes_tpu.modes.common import PAD_ISO7816, PAD_PKCS7, PAD_ZERO
+
+LENS = [16, 17, 31, 32, 33, 48, 100, 256, 1000]
+
+
+def _mk(rng, lens, keylen=16):
+    keys = [rng.integers(0, 256, keylen, dtype=np.uint8).tobytes()
+            for _ in lens]
+    ivs = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes() for _ in lens]
+    pts = [rng.integers(0, 256, ln, dtype=np.uint8).tobytes() for ln in lens]
+    return keys, ivs, pts
+
+
+@pytest.mark.parametrize("keylen", [16, 32])
+def test_cbc_cts_batch_roundtrip(keylen):
+    rng = np.random.default_rng(31)
+    keys, ivs, pts = _mk(rng, LENS, keylen)
+    outs = cbc_encrypt_batch(keys, ivs, pts, cts=True)
+    for i in range(len(pts)):
+        assert outs[i] == cbc.cbc_encrypt(keys[i], ivs[i], pts[i], cts=True), \
+            f"CBC-CTS len={LENS[i]}"
+    backs = cbc_decrypt_batch(keys, ivs, outs, cts=True)
+    assert backs == pts
+
+
+@pytest.mark.parametrize("padding", [PAD_ZERO, PAD_PKCS7, PAD_ISO7816])
+def test_cbc_padded_batch(padding):
+    rng = np.random.default_rng(32)
+    keys, ivs, pts = _mk(rng, [16, 32, 100, 240])
+    outs = cbc_encrypt_batch(keys, ivs, pts, cts=False, padding=padding)
+    for i in range(len(pts)):
+        assert outs[i] == cbc.cbc_encrypt(keys[i], ivs[i], pts[i],
+                                          cts=False, padding=padding)
+    backs = cbc_decrypt_batch(keys, ivs, outs, cts=False)
+    for i, p in enumerate(pts):
+        assert backs[i][: len(p)] == p  # padding not stripped, like the ref
+
+
+def test_cbc_cts_too_short():
+    with pytest.raises(DataLengthError):
+        cbc_encrypt_batch([b"k" * 16], [b"i" * 16], [b"short"], cts=True)
+
+
+def test_cfb_batch_matches_single():
+    rng = np.random.default_rng(33)
+    keys, ivs, pts = _mk(rng, [0, 1, 15] + LENS)
+    outs = cfb_encrypt_batch(keys, ivs, pts)
+    for i in range(len(pts)):
+        assert outs[i] == cfb.cfb_encrypt(keys[i], ivs[i], pts[i]), \
+            f"CFB len={len(pts[i])}"
+    backs = cfb_decrypt_batch(keys, ivs, outs)
+    assert backs == pts
+
+
+def test_ofb_batch_matches_single():
+    rng = np.random.default_rng(34)
+    keys, ivs, pts = _mk(rng, [0, 1, 15] + LENS, keylen=32)
+    outs = ofb_xcrypt_batch(keys, ivs, pts)
+    for i in range(len(pts)):
+        assert outs[i] == ofb.ofb_encrypt(keys[i], ivs[i], pts[i])
+    assert ofb_xcrypt_batch(keys, ivs, outs) == pts
+
+
+def test_ecb_batch_matches_single():
+    rng = np.random.default_rng(35)
+    keys, _, pts = _mk(rng, [16, 17, 32, 100])
+    outs = ecb_encrypt_batch(keys, pts, padding=PAD_PKCS7)
+    for i in range(len(pts)):
+        assert outs[i] == ecb.ecb_encrypt(keys[i], pts[i], padding=PAD_PKCS7)
+    backs = ecb_decrypt_batch(keys, outs)
+    for i, p in enumerate(pts):
+        assert backs[i][: len(p)] == p
+
+
+def test_ctr_batch_matches_single():
+    rng = np.random.default_rng(36)
+    keys, _, pts = _mk(rng, [0, 1] + LENS)
+    nonces = [rng.integers(0, 256, 12, dtype=np.uint8).tobytes()
+              for _ in pts]
+    outs = ctr_xcrypt_batch(keys, nonces, pts)
+    for i in range(len(pts)):
+        assert outs[i] == ctr.ctr_encrypt(keys[i], nonces[i], pts[i]), \
+            f"CTR len={len(pts[i])}"
+    assert ctr_xcrypt_batch(keys, nonces, outs) == pts
+    # preset-counter variant (full 16-byte IV)
+    fulls = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+             for _ in pts]
+    outs = ctr_xcrypt_batch(keys, fulls, pts, preset_counter=True)
+    for i in range(len(pts)):
+        assert outs[i] == ctr.ctr_encrypt(keys[i], fulls[i], pts[i],
+                                          preset_counter=True)
