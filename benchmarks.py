@@ -133,7 +133,7 @@ def bench_modes(selected):
     if "poly1305" in selected:
         r = 0x0ffffffc0ffffffc0ffffffc0fffffff & int.from_bytes(
             bytes(range(16)), "little")
-        ptables = poly_power_tables(r)
+        ptables = poly_power_tables(r, n_blocks)
         words0 = jnp.zeros((4, n_blocks), jnp.uint32)
         pm = jnp.ones(n_blocks, jnp.int32)
 

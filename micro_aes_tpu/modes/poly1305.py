@@ -79,8 +79,8 @@ def poly1305_aes_bulk(keys, nonce, data) -> bytes:
     nf, tail_len = divmod(len(data), BLOCK)
     poly = 0
     if nf:
-        tables = poly_power_tables(r)
         n = nf + ((-nf) % 32)
+        tables = poly_power_tables(r, n)
         words = np.zeros((n, 4), np.uint32)
         words[n - nf:] = np.frombuffer(
             data[: nf * BLOCK], np.uint32).reshape(nf, 4)

@@ -1,0 +1,133 @@
+"""On-hardware selftest: run every fused Pallas engine on the REAL TPU.
+
+The pytest suite pins correctness on an 8-virtual-device CPU mesh (the
+Pallas kernels run there in interpret mode / via their jnp twins); this
+script is the missing hardware tier (ADVICE r1): it executes the actual
+Mosaic lowerings on the chip and checks them two ways:
+
+  1. KAT anchor — the per-message public APIs run on the TPU backend
+     against the reference's embedded main.c known answers
+     (/root/reference/main.c:15-88 via testing/kat.py).  Pure data, no
+     oracle code in the loop.
+  2. Differentials — every fused bulk engine (GCM seal/open, CTR, OCB,
+     XTS sectors, GCM-SIV, Poly1305 fold, batched FPE) against the
+     KAT-anchored per-message path on random inputs.
+
+Exit 0 = all green.  Run:  python tpu_selftest.py
+"""
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"selftest": "skipped",
+                          "reason": f"backend={jax.default_backend()}"}))
+        return 2
+
+    results: list[tuple[str, bool]] = []
+
+    def check(name: str, ok: bool):
+        results.append((name, bool(ok)))
+        print(json.dumps({"check": name, "ok": bool(ok)}))
+
+    # -- tier 1: KAT anchor (per-message APIs on TPU vs main.c answers) --
+    demo = subprocess.run(
+        [sys.executable, "examples/demo.py", "--tpu"],
+        capture_output=True, text=True, timeout=1200)
+    check("KAT sweep (examples/demo.py --tpu)",
+          demo.returncode == 0 and "FAILED" not in demo.stdout)
+    if demo.returncode != 0:
+        sys.stderr.write(demo.stdout + demo.stderr)
+
+    # -- tier 2: fused engines vs the KAT-anchored per-message path --
+    rng = np.random.default_rng(7)
+    key = bytes(range(32))
+    key16 = key[:16]
+    nonce = bytes(rng.integers(0, 256, 12, dtype=np.uint8))
+    aad = bytes(rng.integers(0, 256, 37, dtype=np.uint8))
+    pt = bytes(rng.integers(0, 256, 4096 * 16, dtype=np.uint8))
+
+    from micro_aes_tpu.modes.gcm import gcm_decrypt, gcm_encrypt
+    from micro_aes_tpu.modes.seal import ctr_bulk, gcm_open, gcm_seal
+
+    expect = gcm_encrypt(key, nonce, aad, pt)
+    sealed = gcm_seal(key, nonce, pt, aad=aad)
+    check("fused GCM seal == per-message GCM", sealed == expect)
+    check("fused GCM open round-trip", gcm_open(key, nonce, sealed, aad=aad) == pt)
+    check("per-message GCM open (verify-first)",
+          gcm_decrypt(key, nonce, aad, expect) == pt)
+
+    from micro_aes_tpu.modes.ctr import ctr_encrypt
+
+    iv = nonce + bytes(4)
+    check("fused CTR == per-message CTR",
+          ctr_bulk(key, nonce, pt) == ctr_encrypt(key, iv, pt))
+
+    from micro_aes_tpu.modes.ocb import ocb_encrypt
+    from micro_aes_tpu.modes.ocb_bulk import ocb_open, ocb_seal
+
+    oc = ocb_seal(key16, nonce, aad, pt)
+    check("fused OCB seal == per-message OCB",
+          oc == ocb_encrypt(key16, nonce, aad, pt))
+    check("fused OCB open round-trip",
+          ocb_open(key16, nonce, aad, oc) == pt)
+
+    from micro_aes_tpu.modes.xts import xts_encrypt
+    from micro_aes_tpu.modes.xts_bulk import xts_open_sectors, xts_seal_sectors
+
+    xkey = bytes(range(64))[:32]
+    sector, nsec = 4096, 16
+    data = bytes(rng.integers(0, 256, sector * nsec, dtype=np.uint8))
+    ids = list(range(100, 100 + nsec))
+    xs = xts_seal_sectors(xkey, ids, data, sector_size=sector)
+    per = b"".join(
+        xts_encrypt(xkey, sid.to_bytes(16, "little"),
+                    data[i * sector:(i + 1) * sector])
+        for i, sid in enumerate(ids))
+    check("fused XTS sectors == per-sector XTS", xs == per)
+    check("fused XTS open round-trip",
+          xts_open_sectors(xkey, ids, xs, sector_size=sector) == data)
+
+    from micro_aes_tpu.modes.gcm_siv import gcm_siv_encrypt
+    from micro_aes_tpu.modes.siv_seal import gcm_siv_open, gcm_siv_seal
+
+    gs = gcm_siv_seal(key, nonce, pt)
+    check("fused GCM-SIV seal == per-message",
+          gs == gcm_siv_encrypt(key, nonce, b"", pt))
+    check("fused GCM-SIV open round-trip", gcm_siv_open(key, nonce, gs) == pt)
+
+    from micro_aes_tpu.modes.poly1305 import poly1305_aes, poly1305_aes_bulk
+
+    pkeys = bytes(range(32))
+    pnonce = bytes(range(16))
+    check("bulk Poly1305 == host fold",
+          poly1305_aes_bulk(pkeys, pnonce, pt) == poly1305_aes(pkeys, pnonce, pt))
+
+    from micro_aes_tpu.fpe import fpe_encrypt
+    from micro_aes_tpu.fpe.device import fpe_decrypt_batch, fpe_encrypt_batch
+
+    toks = ["".join("0123456789"[d] for d in rng.integers(0, 10, 16))
+            for _ in range(64)]
+    enc = fpe_encrypt_batch(key16, b"\x01\x02", toks, "digits", "ff1")
+    check("device FF1 batch == host FF1",
+          enc[:4] == [fpe_encrypt(key16, b"\x01\x02", t, "digits", "ff1")
+                      for t in toks[:4]])
+    check("device FF1 round-trip",
+          fpe_decrypt_batch(key16, b"\x01\x02", enc, "digits", "ff1") == toks)
+
+    n_fail = sum(1 for _, ok in results if not ok)
+    print(json.dumps({"selftest": "done", "backend": "tpu",
+                      "passed": len(results) - n_fail, "failed": n_fail}))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
