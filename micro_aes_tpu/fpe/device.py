@@ -48,10 +48,11 @@ MAX_DEVICE_RADIX = 256
 
 def encrypt_blocks(round_keys, blocks):
     """Batched single-block AES with rounds under lax.scan — same math as
-    core.cipher.encrypt_blocks, but the round body traces ONCE.  The FPE
-    Feistel makes ~10-30 cipher calls per program; the unrolled oracle
-    made each a full inlined circuit and compile time (not runtime) was
-    the casualty."""
+    core.cipher.encrypt_blocks, but the round body traces ONCE.  Used for
+    the odd single blocks (the P-block CBC seed); the hot batched PRF
+    calls go through the bitsliced path below — the 256-entry S-box
+    gather is ~10x slower than the bitslice circuit on TPU at FPE batch
+    sizes (measured 14.4 ms vs 1.4 ms per [10240,16] call)."""
     rounds = round_keys.shape[0] - 1
     s = blocks ^ round_keys[0]
 
@@ -63,6 +64,30 @@ def encrypt_blocks(round_keys, blocks):
 
     s, _ = jax.lax.scan(body, s, round_keys[1:rounds])
     return jnp.take(_SBOX_J, s)[..., SHIFT_PERM] ^ round_keys[rounds]
+
+
+def _use_bitslice() -> bool:
+    """The bitsliced PRF is a TPU-only default: its unrolled circuit
+    (4-6 copies inside each Feistel double-round body) takes XLA CPU
+    minutes to compile where TPU takes seconds, and the CPU test mesh
+    recompiles per (radix, length, method).  MICRO_AES_FPE_BITSLICE=1
+    forces it on for the CPU differential test."""
+    import os
+
+    if os.environ.get("MICRO_AES_FPE_BITSLICE") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _enc_batch(rks, kp, blocks, bitslice: bool):
+    """Batch cipher dispatch: the bitsliced plane circuit when the batch
+    is 32-aligned (the front-end pads every group to 32) and the caller
+    asked for it, else the scan/gather fallback."""
+    from ..core.bitslice import encrypt_blocks_bitsliced
+
+    if bitslice and blocks.shape[0] % 32 == 0:
+        return encrypt_blocks_bitsliced(kp, blocks)
+    return encrypt_blocks(rks, blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -124,8 +149,10 @@ def _num_bytes(h, radix: int, nbytes: int, msd_first: bool):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("radix", "n", "t", "encrypt"))
-def _ff1_device(rks, tweaks, x, radix: int, n: int, t: int, encrypt: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("radix", "n", "t", "encrypt", "bitslice"))
+def _ff1_device(rks, kp, tweaks, x, radix: int, n: int, t: int,
+                encrypt: bool, bitslice: bool):
     u = n // 2
     v = n - u
     b = (math.ceil(v * math.log2(radix)) + 7) // 8
@@ -150,7 +177,7 @@ def _ff1_device(rks, tweaks, x, radix: int, n: int, t: int, encrypt: bool):
             axis=1).reshape(B, nq, 16)
         acc = jnp.broadcast_to(e_p, (B, 16))
         for k in range(nq):
-            acc = encrypt_blocks(rks, acc ^ q[:, k])
+            acc = _enc_batch(rks, kp, acc ^ q[:, k], bitslice)
         s = acc
         if d > 16:
             nxb = (d - 1) // 16
@@ -158,7 +185,7 @@ def _ff1_device(rks, tweaks, x, radix: int, n: int, t: int, encrypt: bool):
                 [acc ^ jnp.asarray(np.frombuffer(j.to_bytes(16, "big"),
                                                  np.uint8))
                  for j in range(1, nxb + 1)], axis=1)
-            ext = encrypt_blocks(rks, xs.reshape(B * nxb, 16))
+            ext = _enc_batch(rks, kp, xs.reshape(B * nxb, 16), bitslice)
             s = jnp.concatenate([acc, ext.reshape(B, nxb * 16)], axis=1)
         vt = jnp.asarray(_ydig_table(radix, d, m))
         return s[:, :d].astype(jnp.int32) @ vt
@@ -193,8 +220,10 @@ def _ff1_device(rks, tweaks, x, radix: int, n: int, t: int, encrypt: bool):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("radix", "n", "encrypt"))
-def _ff3_device(rks_rev, tl, tr, x, radix: int, n: int, encrypt: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("radix", "n", "encrypt", "bitslice"))
+def _ff3_device(rks_rev, kp_rev, tl, tr, x, radix: int, n: int,
+                encrypt: bool, bitslice: bool):
     """FF3 halves live MSD-first at the boundary but every NUM/STR in the
     spec reverses them first — NUM(REV(h)) = sum h[j]*radix^j, i.e. the
     boundary array read LSD-first.  So device-side the halves are used
@@ -211,7 +240,7 @@ def _ff3_device(rks_rev, tl, tr, x, radix: int, n: int, encrypt: bool):
         p = jnp.concatenate(
             [w ^ i_lane * i.astype(jnp.uint8),
              jnp.flip(numb, 1).astype(jnp.uint8)], axis=1)
-        s = encrypt_blocks(rks_rev, p[:, rev16])[:, rev16]
+        s = _enc_batch(rks_rev, kp_rev, p[:, rev16], bitslice)[:, rev16]
         vt = jnp.asarray(_ydig_table(radix, 16, m))
         return s.astype(jnp.int32) @ vt
 
@@ -245,6 +274,13 @@ def _ff3_device(rks_rev, tl, tr, x, radix: int, n: int, encrypt: bool):
 @functools.lru_cache(maxsize=64)
 def _rks(key: bytes):
     return jnp.asarray(expand_key(key))
+
+
+@functools.lru_cache(maxsize=64)
+def _kp(key: bytes):
+    from ..core.bitslice import key_planes
+
+    return jnp.asarray(key_planes(expand_key(key)))
 
 
 @functools.lru_cache(maxsize=64)
@@ -301,21 +337,30 @@ def _fpe_batch(key, tweak, tokens, alphabet, method: str,
                                np.int32)
             except EncryptionError:
                 raise err("invalid character for alphabet")
+        # pad the batch to a 32 multiple: the PRF then rides the
+        # bitsliced plane cipher (~10x the gather oracle on TPU)
+        bp = len(idxs) + ((-len(idxs)) % 32)
+        if bp != len(idxs):
+            x = np.concatenate([x, np.broadcast_to(x[:1],
+                                                   (bp - len(idxs), n))])
+        bitslice = _use_bitslice()
         if method == "ff1":
             tw = np.broadcast_to(np.frombuffer(tweak, np.uint8),
-                                 (len(idxs), len(tweak)))
-            res = _ff1_device(_rks(key), jnp.asarray(tw), jnp.asarray(x),
-                              alpha.radix, n, len(tweak), encrypt)
+                                 (bp, len(tweak)))
+            res = _ff1_device(_rks(key), _kp(key), jnp.asarray(tw),
+                              jnp.asarray(x), alpha.radix, n, len(tweak),
+                              encrypt, bitslice)
         elif method in ("ff3", "ff3-1"):
             tl, tr = _split_tweak(tweak)
-            tlb = np.broadcast_to(np.frombuffer(tl, np.uint8), (len(idxs), 4))
-            trb = np.broadcast_to(np.frombuffer(tr, np.uint8), (len(idxs), 4))
-            res = _ff3_device(_rks(bytes(reversed(key))), jnp.asarray(tlb),
+            rkey = bytes(reversed(key))
+            tlb = np.broadcast_to(np.frombuffer(tl, np.uint8), (bp, 4))
+            trb = np.broadcast_to(np.frombuffer(tr, np.uint8), (bp, 4))
+            res = _ff3_device(_rks(rkey), _kp(rkey), jnp.asarray(tlb),
                               jnp.asarray(trb), jnp.asarray(x),
-                              alpha.radix, n, encrypt)
+                              alpha.radix, n, encrypt, bitslice)
         else:
             raise ValueError(f"unknown FPE method {method!r}")
-        res = np.asarray(res)
+        res = np.asarray(res)[: len(idxs)]
         if luts is not None:
             flat = luts[1][res.reshape(-1)].tobytes().decode("ascii")
             for k, i in enumerate(idxs):

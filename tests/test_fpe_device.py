@@ -84,6 +84,25 @@ def test_device_matches_host_fuzz(method):
         assert rt == toks
 
 
+@pytest.mark.parametrize("method", ["ff1", "ff3-1"])
+def test_device_bitsliced_prf_matches(method, monkeypatch):
+    """The bitsliced-PRF variant (the TPU default, gated off on CPU for
+    compile time) must be bit-identical to the gather-PRF path.  One
+    fixed (radix, length) config keeps the CPU compile bounded."""
+    monkeypatch.setenv("MICRO_AES_FPE_BITSLICE", "1")
+    key = kat.CIPHER_KEY[:16]
+    tweak = kat.AAD[:7]
+    rng = np.random.default_rng(11)
+    toks = ["".join("0123456789"[i] for i in rng.integers(0, 10, 16))
+            for _ in range(40)]  # > 32: exercises the pad-to-32 branch
+    got = fpe_encrypt_batch(key, tweak, toks, "digits", method)
+    monkeypatch.delenv("MICRO_AES_FPE_BITSLICE")
+    exp = fpe_encrypt_batch(key, tweak, toks, "digits", method)
+    assert got == exp
+    monkeypatch.setenv("MICRO_AES_FPE_BITSLICE", "1")
+    assert fpe_decrypt_batch(key, tweak, got, "digits", method) == toks
+
+
 def test_device_error_contract():
     key = kat.CIPHER_KEY[:16]
     with pytest.raises(EncryptionError):
