@@ -42,7 +42,7 @@ from ..ops.counter import _LOW_BIT_PATTERNS
 # position layout needs (SHIFT_PERM row gathers dominated the kernel).
 _RM = np.array([4 * (p % 4) + p // 4 for p in range(16)])
 
-SEAL_TILE_W = 256
+SEAL_TILE_W = 512
 
 
 def _interpret() -> bool:
