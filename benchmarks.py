@@ -130,6 +130,60 @@ def bench_modes(selected):
             _emit("AES-128-OCB open body",
                   _marginal_rate(loop_of(step), pto, nbytes))
 
+    if "xts" in selected:
+        from micro_aes_tpu.core.bitslice import key_planes
+        from micro_aes_tpu.core.keyschedule import expand_key
+        from micro_aes_tpu.modes.xts_bulk import (
+            _row_base_powers_t,
+            xts_sectors_stream_kernel,
+        )
+
+        kp1 = jnp.asarray(key_planes(expand_key(key16)))
+        kp2 = jnp.asarray(key_planes(expand_key(bytes(range(16, 32)))))
+        jsec = 256  # 4 KiB sectors
+        s = n_blocks // jsec
+        pows = _row_base_powers_t(jsec // 32)
+        tweaks = jnp.asarray(np.arange(s, dtype=np.uint32)[:, None]
+                             .view(np.uint8).reshape(s, 4).repeat(4, 1))
+        data0 = jnp.zeros((n_blocks // 32, 128), jnp.uint32)
+
+        def step(c):
+            return xts_sectors_stream_kernel(kp1, kp2, pows, tweaks, c)
+        _emit("AES-128-XTS sectors (4 KiB)",
+              _marginal_rate(loop_of(step), data0, nbytes))
+
+    if "gcm-siv" in selected:
+        from micro_aes_tpu.core.cipher import encrypt_blocks as _enc1
+        from micro_aes_tpu.core.keyschedule import expand_key
+        from micro_aes_tpu.modes.siv_seal import (
+            _len_block_le,
+            _siv_key_setup,
+            _stream_words,
+            gcm_siv_ctr_stream,
+            polyval_stream,
+        )
+
+        nonce12 = bytes(range(12))
+        msg_key, kpv, vtables, w1tv = _siv_key_setup(key, nonce12)
+        rks1 = jnp.asarray(expand_key(msg_key))
+        nvec = jnp.asarray(np.frombuffer(nonce12, np.uint8))
+        wv = _stream_words(n_blocks)
+        front = 32 * wv - (n_blocks + 1)
+        lbw = jnp.asarray(_len_block_le(n_blocks).view(np.uint32))
+        stream0 = jnp.zeros((wv, 128), jnp.uint32)
+
+        def step(c):
+            # full seal: POLYVAL pass + tag transform + LE32-CTR pass
+            c = c.at[wv - 1, 124:128].set(lbw)
+            pv = polyval_stream(vtables, w1tv, c, n_blocks)
+            pv = pv.at[:12].set(pv[:12] ^ nvec).at[15].set(pv[15] & 0x7F)
+            tag = _enc1(rks1, pv[None, :])[0]
+            tw = jax.lax.bitcast_convert_type(
+                tag.at[15].set(tag[15] | 0x80).reshape(4, 4), jnp.uint32)
+            return gcm_siv_ctr_stream(kpv, tw, c, front)
+        _emit("AES-256-GCM-SIV seal",
+              _marginal_rate(loop_of(step), stream0, nbytes))
+
     if "poly1305" in selected:
         r = 0x0ffffffc0ffffffc0ffffffc0fffffff & int.from_bytes(
             bytes(range(16)), "little")
@@ -241,7 +295,8 @@ def main(argv=None):
                         help="run the sharded scaling harness instead")
     parser.add_argument("--modes", nargs="*",
                         default=["gcm-seal", "gcm-open", "ctr", "ocb-seal",
-                                 "ocb-open", "poly1305", "fpe", "cipher"])
+                                 "ocb-open", "xts", "gcm-siv", "poly1305",
+                                 "fpe", "cipher"])
     args = parser.parse_args(argv)
     if args.mesh:
         bench_mesh()

@@ -3,12 +3,20 @@ throughput.
 
 Structure (RFC 8452; parity with micro_aes.c:1418-1515):
 
-  pass 1: POLYVAL of the plaintext + length block, as MXU matmuls over
-          powers of the dot-matrix (same machinery as GHASH — only the
-          per-key matrix differs), then tag = E(pv ^ nonce, bit-cleared);
+  pass 1: POLYVAL of the plaintext + length block INSIDE the level-1
+          Pallas kernel (ops/pallas_seal.ghash1_fused — the MAC half of
+          the GCM seal kernel; only the per-key table differs between
+          GHASH and POLYVAL), then tag = E(pv ^ nonce, bit-cleared);
   pass 2: LE32 counter stream from the tag — counter *words* are plain
           vector math (word 0 = tag_lo + index), so the counters enter
           the ctrw_fused kernel as words and get butterflied in-kernel.
+
+Both passes share ONE w-major stream with the message at the stream
+TAIL (len block last): POLYVAL exponents count from the end, so all
+padding lands in front where masked positions are free — no inverse-
+power compensation matrices — and the counter base simply shifts by
+the front offset.  The v1 design expanded an 8x-message bit tensor in
+HBM for pass 1 and ran 13x slower than the GCM seal.
 
 Whole blocks, empty AAD (the general modes/gcm_siv.py handles the rest).
 """
@@ -23,85 +31,75 @@ import numpy as np
 from ..core.bitslice import key_planes
 from ..core.keyschedule import expand_key
 from ..errors import AuthenticationError
-from ..ops.gf128 import blocks_to_bits, polyval_matrix
-from ..ops.ghash_bulk import (
-    _gf2_matmul_i8,
-    combine_levels,
-    ghash_power_tables,
-)
+from ..ops.gf128 import bits_to_blocks, polyval_matrix
+from ..ops.ghash_bulk import _gf2_matmul_i8, combine_levels, ghash_power_tables
 from ..utils.bytesio import BLOCK, verify_tag
 from .gcm_siv import _derive_keys
-
-TILE = 1024  # polyval tile in blocks (chunk 32 x chunk2 32)
 
 
 @functools.lru_cache(maxsize=256)
 def _siv_key_setup(key: bytes, nonce: bytes):
-    """Per-(key, nonce) derived keys + POLYVAL power tables + key planes."""
+    """Per-(key, nonce) derived keys + plane-ordered POLYVAL power tables
+    (+ transposed level-1 table for the fused kernel) + key planes."""
     auth_key, msg_key = _derive_keys(key, nonce)
     m = polyval_matrix(np.frombuffer(auth_key, np.uint8))
-    tables = ghash_power_tables(m, 32, 32)  # standard bit order
+    tables = ghash_power_tables(m, 32, 32, plane_order=True)
+    w1t = jnp.transpose(tables[0]).astype(jnp.int8)
     kp = jnp.asarray(key_planes(expand_key(msg_key)))
-    return msg_key, kp, tables
+    return msg_key, kp, tables, w1t
 
 
-def gcm_siv_seal_kernel(kp, tables, tag_words, pt_blocks):
-    """Pass 2: LE32 counter stream from tag words; returns ct blocks."""
-    from ..ops.pallas_seal import (
-        bytes_to_stream,
-        ctrw_fused_auto,
-        seal_word_align,
-        stream_to_bytes,
-    )
+def _stream_words(n_blocks: int) -> int:
+    """Stream width W for a message of n blocks + the trailing len block."""
+    from ..ops.pallas_seal import seal_word_align
 
-    n = pt_blocks.shape[0]
-    w = -(-n // 32)
-    w += (-w) % seal_word_align()
+    w = -(-(n_blocks + 1) // 32)
+    return w + (-w) % max(seal_word_align(), 32)
 
-    # counter stream [W, 128]: lane 4j+k of row w' holds word k of block
-    # 32w'+j — word 0 counts (LE32 wrap), words 1..3 are the tag words
-    # (MSB of byte 15 already set by the caller).
+
+def gcm_siv_ctr_stream(kp, tag_words, data_stream, front: int):
+    """Pass 2 on the shared stream: CTR from tag words, data at stream
+    positions front..  Returns the processed stream (self-inverse)."""
+    from ..ops.pallas_seal import ctrw_fused_auto
+
+    w = data_stream.shape[0]
     lane = jnp.arange(128, dtype=jnp.uint32)
     pos = 32 * jnp.arange(w, dtype=jnp.uint32)[:, None] + lane[None, :] // 4
     base = tag_words[lane % 4][None, :]
-    ctrw = jnp.where(lane[None, :] % 4 == 0, base + pos, base)
+    # counter value for the block at stream position p is tag + (p-front)
+    ctrw = jnp.where(lane[None, :] % 4 == 0,
+                     base + pos - jnp.uint32(front), base)
+    return ctrw_fused_auto(kp.reshape(-1, 1), ctrw, data_stream)
 
-    ptw = bytes_to_stream(pt_blocks, 0, w)
-    ctw = ctrw_fused_auto(kp.reshape(-1, 1), ctrw, ptw)
-    return stream_to_bytes(ctw, 0, n)
 
+def polyval_stream(tables, w1t, data_stream, n: int):
+    """Pass 1 on the shared stream: POLYVAL over stream positions
+    [front, 32W) — the message blocks plus the len block already placed
+    at the last position.  Returns the accumulator block uint8[16]."""
+    from ..ops.pallas_seal import ghash1_fused_auto
 
-def _polyval_tag_kernel(tables, data_blocks, len_block):
-    """Pass 1: POLYVAL(data || len_block) via the bulk matmul machinery."""
-    n = data_blocks.shape[0]
-    total = n + 1
-    pad = (-total) % TILE
-    bits = jnp.concatenate([
-        jnp.zeros((pad, 128), jnp.int8),
-        blocks_to_bits(data_blocks).astype(jnp.int8),
-        blocks_to_bits(len_block[None, :]).astype(jnp.int8),
-    ])
-    w1, w2 = tables[0], tables[1]
-    s1 = _gf2_matmul_i8(bits.reshape((pad + total) // 32, 32 * 128), w1)
-    chunk2 = w2.shape[0] // 128
+    w = data_stream.shape[0]
+    front = 32 * w - (n + 1)
+    pv = np.zeros(32 * w, dtype=np.uint64)
+    pv[front:] = 1
+    ghm = np.zeros(w, np.uint32)
+    for j in range(32):
+        ghm |= (pv[j::32].astype(np.uint32) << j)
+    s1t = ghash1_fused_auto(jnp.asarray(ghm[None, :]), w1t, data_stream)
+    chunk2 = tables[1].shape[0] // 128
     s2 = _gf2_matmul_i8(
-        s1.astype(jnp.int8).reshape(-1, chunk2 * 128), w2)
+        jnp.transpose(s1t).reshape(w // chunk2, chunk2 * 128), tables[1])
     acc = combine_levels(s2.astype(jnp.int8), tables)
-    from ..ops.gf128 import bits_to_blocks
-
     return bits_to_blocks(acc)
 
 
-_polyval_tag_jit = jax.jit(_polyval_tag_kernel)
-_siv_seal_jit = jax.jit(gcm_siv_seal_kernel)
+_polyval_stream_jit = jax.jit(polyval_stream, static_argnames=("n",))
+_siv_ctr_jit = jax.jit(gcm_siv_ctr_stream, static_argnames=("front",))
 
 
-def _tag(key: bytes, nonce: bytes, data_blocks: np.ndarray, n: int) -> np.ndarray:
-    msg_key, kp, tables = _siv_key_setup(key, nonce)
-    lb = np.zeros(BLOCK, np.uint8)
-    lb[8:] = np.frombuffer((n * BLOCK * 8).to_bytes(8, "little"), np.uint8)
-    pv = np.array(_polyval_tag_jit(tables, jnp.asarray(data_blocks),
-                                   jnp.asarray(lb)))
+def _tag_from_pv(msg_key: bytes, nonce: bytes, pv: np.ndarray) -> np.ndarray:
+    """tag = E_msgkey(pv ^ (nonce || 0), MSB cleared)  (RFC 8452 §7)."""
+    pv = pv.copy()
     pv[:12] ^= np.frombuffer(nonce, np.uint8)
     pv[15] &= 0x7F
     from .. import native
@@ -109,29 +107,48 @@ def _tag(key: bytes, nonce: bytes, data_blocks: np.ndarray, n: int) -> np.ndarra
     return native.oracle_encrypt(msg_key, pv.reshape(1, BLOCK))[0]
 
 
+def _len_block_le(n_blocks: int) -> np.ndarray:
+    lb = np.zeros(BLOCK, np.uint8)
+    lb[8:] = np.frombuffer((n_blocks * BLOCK * 8).to_bytes(8, "little"),
+                           np.uint8)
+    return lb
+
+
 def gcm_siv_seal(key, nonce, plaintext) -> bytes:
     """Bulk GCM-SIV seal: ct || 16-byte tag (12-byte nonce, no AAD,
     whole blocks; general path: modes/gcm_siv.py)."""
+    from ..ops.pallas_seal import seal_word_align  # noqa: F401 (backend gate)
+    from .seal import host_stream, host_unstream
+
     key, nonce = bytes(key), bytes(nonce)
     assert len(nonce) == 12
     if jax.default_backend() != "tpu":
         from .gcm_siv import gcm_siv_encrypt
 
         return gcm_siv_encrypt(key, nonce, b"", plaintext)
-    pt = np.frombuffer(bytes(plaintext), np.uint8).reshape(-1, BLOCK)
-    tag = _tag(key, nonce, pt, pt.shape[0])
-    msg_key, kp, tables = _siv_key_setup(key, nonce)
+    pt = bytes(plaintext)
+    n = len(pt) // BLOCK
+    msg_key, kp, tables, w1t = _siv_key_setup(key, nonce)
+    w = _stream_words(n)
+    front = 32 * w - (n + 1)
+    buf = host_stream(pt, front, w)
+    buf.reshape(-1)[-4:] = _len_block_le(n).view(np.uint32)
+    stream = jnp.asarray(buf)
+
+    pv = np.asarray(_polyval_stream_jit(tables, w1t, stream, n))
+    tag = _tag_from_pv(msg_key, nonce, pv)
     base = tag.copy()
     base[15] |= 0x80
-    tag_words = jnp.asarray(
-        base.view(np.uint32) if base.flags.c_contiguous else base.copy().view(np.uint32))
-    ct = _siv_seal_jit(kp, tables, tag_words, jnp.asarray(pt))
-    return bytes(np.asarray(ct).reshape(-1)) + bytes(tag)
+    ctw = _siv_ctr_jit(kp, jnp.asarray(base.copy().view(np.uint32)),
+                       stream, front)
+    return host_unstream(np.asarray(ctw), front, len(pt)) + bytes(tag)
 
 
 def gcm_siv_open(key, nonce, ct_and_tag) -> bytes:
     """Bulk GCM-SIV open: decrypt (CTR from received tag), recompute the
     tag over the plaintext, verify."""
+    from .seal import host_stream, host_unstream
+
     key, nonce = bytes(key), bytes(nonce)
     data = bytes(ct_and_tag)
     if jax.default_backend() != "tpu":
@@ -139,13 +156,19 @@ def gcm_siv_open(key, nonce, ct_and_tag) -> bytes:
 
         return gcm_siv_decrypt(key, nonce, b"", data)
     ct, tag = data[:-16], np.frombuffer(data[-16:], np.uint8)
-    blocks = np.frombuffer(ct, np.uint8).reshape(-1, BLOCK)
-    msg_key, kp, tables = _siv_key_setup(key, nonce)
+    n = len(ct) // BLOCK
+    msg_key, kp, tables, w1t = _siv_key_setup(key, nonce)
+    w = _stream_words(n)
+    front = 32 * w - (n + 1)
     base = tag.copy()
     base[15] |= 0x80
-    tag_words = jnp.asarray(base.copy().view(np.uint32))
-    pt = np.asarray(_siv_seal_jit(kp, tables, tag_words, jnp.asarray(blocks)))
-    expect = _tag(key, nonce, pt, pt.shape[0])
+    ptw = _siv_ctr_jit(kp, jnp.asarray(base.copy().view(np.uint32)),
+                       jnp.asarray(host_stream(ct, front, w)), front)
+    # place the len block at the last stream position, then POLYVAL
+    lbw = jnp.asarray(_len_block_le(n).view(np.uint32))
+    ptw = ptw.at[w - 1, 124:128].set(lbw)
+    pv = np.asarray(_polyval_stream_jit(tables, w1t, ptw, n))
+    expect = _tag_from_pv(msg_key, nonce, pv)
     if not verify_tag(expect, tag):
         raise AuthenticationError("GCM-SIV tag mismatch")
-    return bytes(pt.reshape(-1))
+    return host_unstream(np.asarray(ptw), front, len(ct))

@@ -289,6 +289,209 @@ def _ctrw_kernel(rounds: int, decrypt: bool, kp_ref, ctrw_ref, ptw_ref,
         jnp.transpose(ptw_ref[:]), decrypt))
 
 
+# ---------------------------------------------------------------------------
+# XEX with per-row bases (XTS): offsets tw = base * alpha^jj are expanded
+# IN-KERNEL.  In the plane domain (bit q = 8*pos + b of a block, lanes =
+# the 32 jj of a word-row packed in u32 bits), multiplying by alpha^m is
+# a plane-index relabel (q -> q+m) plus 4 reduction-tap XORs per overflow
+# bit (LE doubling, micro_aes.c:449-458) — and selecting "lanes whose jj
+# has bit b set" is the same fixed u32 lane pattern the counter bits use.
+# Five masked stages (m = 1,2,4,8,16) turn the row base into all 32 lane
+# offsets for ~6% of the cipher's gate count; the host supplies one base
+# block per 32 data blocks.
+# ---------------------------------------------------------------------------
+
+
+def _alpha_pow_grid(g, m: int):
+    """Multiply a true-index plane grid g[b][pos] ([1, TILE] rows) by
+    alpha^m (m <= 16): bit q -> q+m with 0x87 taps for the m overflow
+    bits (x^(128+t) = x^t + x^(t+1) + x^(t+2) + x^(t+7))."""
+    out = [[None] * 16 for _ in range(8)]
+    for q in range(128):
+        src = q - m
+        if src >= 0:
+            out[q % 8][q // 8] = g[src % 8][src // 8]
+    for t in range(m):
+        s = g[(128 - m + t) % 8][(128 - m + t) // 8]
+        for d in (t, t + 1, t + 2, t + 7):
+            cur = out[d % 8][d // 8]
+            out[d % 8][d // 8] = s if cur is None else cur ^ s
+    z = jnp.zeros_like(g[0][0])
+    return [[z if v is None else v for v in row] for row in out]
+
+
+def _xex_expand(bg):
+    """base grid -> offset grid: lane-bit jj applies alpha^jj via five
+    masked doubling stages (mask = fixed lane pattern for bit b of jj)."""
+    x = bg
+    for b in range(5):
+        y = _alpha_pow_grid(x, 1 << b)
+        pat = jnp.uint32(_LOW_BIT_PATTERNS[b])
+        x = [[x[bb][pp] ^ (pat & (y[bb][pp] ^ x[bb][pp]))
+              for pp in range(16)] for bb in range(8)]
+    return x
+
+
+def _xex_grids(base128, x128):
+    """Butterfly base + data streams into true-index plane grids and
+    expand the offsets (off[lane jj] = base * alpha^jj)."""
+    bg = [[None] * 16 for _ in range(8)]
+    dg = [[None] * 16 for _ in range(8)]
+    for k in range(4):
+        tb = _butterfly_rows(
+            [base128[4 * j + k: 4 * j + k + 1, :] for j in range(32)])
+        td = _butterfly_rows(
+            [x128[4 * j + k: 4 * j + k + 1, :] for j in range(32)])
+        for r in range(32):
+            bg[r % 8][4 * k + r // 8] = tb[r]
+            dg[r % 8][4 * k + r // 8] = td[r]
+    og = _xex_expand(bg)
+    return dg, og
+
+
+def _xex_kernel(rounds: int, decrypt: bool, kp_ref, basew_ref, ptw_ref,
+                ctw_ref):
+    base128 = jnp.transpose(basew_ref[:])
+    x128 = jnp.transpose(ptw_ref[:])
+    dg, og = _xex_grids(base128, x128)
+    pin = [jnp.concatenate(
+        [dg[b][int(_RM[rm])] ^ og[b][int(_RM[rm])] for rm in range(16)],
+        axis=0) for b in range(8)]
+    p = (_cipher_rounds_dec if decrypt else _cipher_rounds)(rounds, kp_ref,
+                                                            pin)
+    out_rows = [None] * 128
+    for k in range(4):
+        outb = [p[r % 8][int(_RM[4 * k + r // 8]):
+                         int(_RM[4 * k + r // 8]) + 1, :]
+                ^ og[r % 8][4 * k + r // 8] for r in range(32)]
+        back = _butterfly_rows(outb)
+        for j in range(32):
+            out_rows[4 * j + k] = back[j]
+    ctw_ref[:] = jnp.transpose(jnp.concatenate(out_rows, axis=0))
+
+
+@functools.partial(jax.jit, static_argnames=("decrypt",))
+def xex_fused(kp_flat, base_words, pt_words, decrypt: bool = False):
+    """Fused XEX body with per-row bases: base_words u32[W, 128] holds
+    the row's base block broadcast across its 32 lane groups (lane
+    4jj+k = word k of the base for every jj); offsets base*alpha^jj are
+    expanded in VMEM.  out = off ^ E_K(in ^ off) (D_K when decrypt)."""
+    rounds = kp_flat.shape[0] // 128 - 1
+    w = pt_words.shape[0]
+    assert w % SEAL_TILE_W == 0
+    return pl.pallas_call(
+        functools.partial(_xex_kernel, rounds, decrypt),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((w, 128), jnp.uint32),
+        grid=(w // SEAL_TILE_W,),
+        in_specs=[
+            pl.BlockSpec((kp_flat.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(_kp_rm(kp_flat), base_words, pt_words)
+
+
+_LANE_K = np.arange(128) % 4
+_LANE_JJ = np.arange(128) // 4
+
+
+def _alpha_pow_words(x, m: int):
+    """alpha^m on block lane groups of a u32[W, 128] stream (jnp twin
+    form of _alpha_pow_grid: word-level shift with carry + poly taps)."""
+    sh = jnp.roll(x, 1, axis=1)
+    carry = jnp.where(jnp.asarray(_LANE_K == 0)[None, :], jnp.uint32(0),
+                      sh >> (32 - m))
+    y = (x << m) | carry
+    ov = jnp.roll(x >> (32 - m), -3, axis=1)
+    red = jnp.zeros_like(x)
+    for i in range(m):
+        red = red ^ (jnp.uint32(0x87 << i) * ((ov >> i) & 1))
+    return y ^ jnp.where(jnp.asarray(_LANE_K == 0)[None, :], red,
+                         jnp.uint32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("decrypt",))
+def xex_fused_jnp(kp_flat, base_words, pt_words, decrypt: bool = False):
+    """jnp twin of xex_fused (vectorized stage math + plane cipher)."""
+    x = base_words
+    for b in range(5):
+        sel = jnp.asarray(((_LANE_JJ >> b) & 1).astype(np.uint32))[None, :]
+        x = jnp.where(sel == 1, _alpha_pow_words(x, 1 << b), x)
+    return ctrw_fused_jnp(kp_flat, pt_words ^ x, x, decrypt=decrypt)
+
+
+def xex_fused_auto(kp_flat, base_words, pt_words, decrypt: bool = False):
+    fn = xex_fused if jax.default_backend() == "tpu" else xex_fused_jnp
+    return fn(kp_flat, base_words, pt_words, decrypt=decrypt)
+
+
+def _ghash_kernel(ghm_ref, w1t_ref, xw_ref, s1_ref):
+    """GHASH/POLYVAL level-1 ONLY: butterfly the input stream into bit
+    planes and contract against W1^T in VMEM — the MAC-side half of
+    _seal_kernel without the cipher.  Backs tag passes whose data is
+    already ciphertext/plaintext (GCM-SIV POLYVAL, standalone GHASH):
+    the 8x-message bit tensor never exists in HBM."""
+    x128 = jnp.transpose(xw_ref[:])
+    ct_planes = []
+    for k in range(4):
+        rows = [x128[4 * j + k: 4 * j + k + 1, :] for j in range(32)]
+        ct_planes.append(_butterfly_rows(rows))
+    s1_ref[:] = _ghash_level1(ct_planes, ghm_ref[0:1, :], w1t_ref[:])
+
+
+@jax.jit
+def ghash1_fused(ghm, w1t, x_words):
+    """Level-1 MAC partials of a u32[W, 128] w-major stream: returns
+    s1 int8[128, W] (s1[:, w] = partial of 32-block chunk w).  ghm
+    uint32[1, W] masks valid stream positions; w1t int8[128, 4096] is
+    the transposed plane-ordered level-1 table (GHASH or POLYVAL —
+    the convention lives entirely in the table)."""
+    w = x_words.shape[0]
+    assert w % SEAL_TILE_W == 0
+    return pl.pallas_call(
+        _ghash_kernel,
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((128, w), jnp.int8),
+        grid=(w // SEAL_TILE_W,),
+        in_specs=[
+            pl.BlockSpec((1, SEAL_TILE_W), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 4096), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(ghm, w1t, x_words)
+
+
+@jax.jit
+def ghash1_fused_jnp(ghm, w1t, x_words):
+    """jnp twin of ghash1_fused (vectorized plane machinery)."""
+    from ..core.bitslice import words_to_planes
+    from .ghash_bulk import _gf2_matmul_i8, planes_to_bits_i8
+
+    w = x_words.shape[0]
+    planes = words_to_planes(_stream_to_kwords(x_words))
+    bits = planes_to_bits_i8(planes)  # [32w, 128]
+    mask = ((ghm[0][:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1)
+    bits = bits * mask.reshape(32 * w, 1).astype(jnp.int8)
+    s1 = _gf2_matmul_i8(bits.reshape(w, 32 * 128), jnp.transpose(w1t))
+    return jnp.transpose(s1).astype(jnp.int8)
+
+
+def ghash1_fused_auto(ghm, w1t, x_words):
+    fn = ghash1_fused if jax.default_backend() == "tpu" else ghash1_fused_jnp
+    return fn(ghm, w1t, x_words)
+
+
 def _ocb_offsets(nbits: int, row0, tile: int, d0l, lbl):
     """OCB Δ-offsets as a [TILE, 128] u32 stream tile: block index
     i = 32*(row0+row) + lane//4 + 1, Δ_i = Δ_0 ^ XOR over set bits b of

@@ -140,3 +140,75 @@ def test_seal_kernel_interpret_matches_jnp_twin():
     ctw_j, s1_j = seal_fused_jnp(kp_flat, j0c, lohi, ghm, w1t, ptw)
     assert np.array_equal(np.asarray(ctw_k), np.asarray(ctw_j))
     assert np.array_equal(np.asarray(s1_k), np.asarray(s1_j))
+
+
+def test_xex_kernel_interpret_matches_jnp_twin():
+    """xex_fused (XTS body with in-kernel alpha^jj offset expansion) vs
+    its jnp twin, plus the twin vs a per-block doubling oracle."""
+    from micro_aes_tpu.core.bitslice import key_planes
+    from micro_aes_tpu.core.cipher import encrypt_blocks
+    from micro_aes_tpu.core.keyschedule import expand_key
+    from micro_aes_tpu.ops.gf128 import double_le
+    from micro_aes_tpu.ops.pallas_seal import (
+        SEAL_TILE_W,
+        bytes_to_stream,
+        stream_to_bytes,
+        xex_fused,
+        xex_fused_jnp,
+    )
+
+    rng = np.random.default_rng(3)
+    key = bytes(range(16))
+    kp = jnp.asarray(key_planes(expand_key(key)).reshape(-1, 1))
+
+    # twin vs oracle on a small W (oracle doubles serially per lane)
+    w_small, n_small = 8, 8 * 32
+    bases = rng.integers(0, 256, (w_small, 16), dtype=np.uint8)
+    data = rng.integers(0, 256, (n_small, 16), dtype=np.uint8)
+    offs = np.zeros((n_small, 16), np.uint8)
+    for w in range(w_small):
+        t = jnp.asarray(bases[w])
+        for jj in range(32):
+            offs[32 * w + jj] = np.asarray(t)
+            t = double_le(t)
+    expect = np.asarray(encrypt_blocks(
+        jnp.asarray(expand_key(key)), jnp.asarray(data ^ offs))) ^ offs
+    basew = jnp.asarray(np.broadcast_to(
+        bases.view(np.uint32)[:, None, :], (w_small, 32, 4))
+        .reshape(w_small, 128).copy())
+    ptw = bytes_to_stream(jnp.asarray(data), 0, w_small)
+    got = np.asarray(stream_to_bytes(
+        xex_fused_jnp(kp, basew, ptw), 0, n_small))
+    assert np.array_equal(got, expect)
+
+    # kernel (interpret mode) vs twin at one full tile, both directions
+    w = SEAL_TILE_W
+    basew = jnp.asarray(np.broadcast_to(
+        rng.integers(0, 256, (w, 16), dtype=np.uint8).view(np.uint32)
+        [:, None, :], (w, 32, 4)).reshape(w, 128).copy())
+    ptw = jnp.asarray(rng.integers(0, 2**32, (w, 128), dtype=np.uint32))
+    for dec in (False, True):
+        k = np.asarray(xex_fused(kp, basew, ptw, decrypt=dec))
+        j = np.asarray(xex_fused_jnp(kp, basew, ptw, decrypt=dec))
+        assert np.array_equal(k, j), f"decrypt={dec}"
+
+
+def test_ghash1_kernel_interpret_matches_jnp_twin():
+    """ghash1_fused (MAC-only level-1 kernel: GCM-SIV POLYVAL pass) vs
+    its jnp twin on one tile with a random validity mask."""
+    from micro_aes_tpu.ops.pallas_seal import (
+        SEAL_TILE_W,
+        ghash1_fused,
+        ghash1_fused_jnp,
+    )
+
+    rng = np.random.default_rng(4)
+    key = bytes(range(32))
+    _, tables = gcm_key_setup(key)
+    w1t = jnp.transpose(tables[0]).astype(jnp.int8)
+    w = SEAL_TILE_W
+    ghm = jnp.asarray(rng.integers(0, 2**32, (1, w), dtype=np.uint32))
+    ptw = jnp.asarray(rng.integers(0, 2**32, (w, 128), dtype=np.uint32))
+    s1_k = np.asarray(ghash1_fused(ghm, w1t, ptw))
+    s1_j = np.asarray(ghash1_fused_jnp(ghm, w1t, ptw))
+    assert np.array_equal(s1_k, s1_j)
