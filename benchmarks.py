@@ -27,7 +27,9 @@ def _marginal_rate(make_loop, x0, nbytes_per_iter, r1=8, r2=40):
         jax.tree_util.tree_map(lambda v: v.block_until_ready(), loop(x0))
         ts = []
         for k in range(3):
-            xv = x0 + x0.dtype.type(k + 1)
+            # every timed call must see DISTINCT input data (the remote
+            # tunnel caches runs by content), so fold r into the value
+            xv = x0 + x0.dtype.type(16 * r + k + 1)
             xv.block_until_ready()
             t0 = time.time()
             jax.tree_util.tree_map(lambda v: v.block_until_ready(), loop(xv))
@@ -184,6 +186,26 @@ def bench_modes(selected):
         _emit("AES-256-GCM-SIV seal",
               _marginal_rate(loop_of(step), stream0, nbytes))
 
+    if "gcm-multikey" in selected:
+        from micro_aes_tpu.modes.seal_batch import _prep, _seal_batch_core
+
+        rngk = np.random.default_rng(9)
+        bk, mb = 64, 16384  # 64 tenants x 16 KB
+        mkeys = [bytes(rngk.integers(0, 256, 16, dtype=np.uint8))
+                 for _ in range(bk)]
+        mnonces = [bytes(rngk.integers(0, 256, 12, dtype=np.uint8))
+                   for _ in range(bk)]
+        args = _prep(mkeys, mnonces, [b"hdr"] * bk, [bytes(mb)] * bk)
+        bb, wmk = args[0], args[1]
+        kp_stack, j0wk, frontk, maskk, selk, lbk, ptwk = args[5:12]
+
+        def step(c):
+            o, t = _seal_batch_core(kp_stack, j0wk, frontk, maskk, selk,
+                                    lbk, c, bb, wmk)
+            return o
+        _emit("AES-128-GCM multi-key seal (64 keys x 16 KB)",
+              _marginal_rate(loop_of(step), ptwk, bk * mb))
+
     if "poly1305" in selected:
         r = 0x0ffffffc0ffffffc0ffffffc0fffffff & int.from_bytes(
             bytes(range(16)), "little")
@@ -295,8 +317,8 @@ def main(argv=None):
                         help="run the sharded scaling harness instead")
     parser.add_argument("--modes", nargs="*",
                         default=["gcm-seal", "gcm-open", "ctr", "ocb-seal",
-                                 "ocb-open", "xts", "gcm-siv", "poly1305",
-                                 "fpe", "cipher"])
+                                 "ocb-open", "xts", "gcm-siv", "gcm-multikey",
+                                 "poly1305", "fpe", "cipher"])
     args = parser.parse_args(argv)
     if args.mesh:
         bench_mesh()

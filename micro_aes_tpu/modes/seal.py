@@ -347,10 +347,13 @@ def ctr_bulk_stream(kp, ctr0, pt_stream):
     hi = (hi0 + (lo < lo0).astype(jnp.uint32)) & 0xFFFFFF
     lohi = jnp.stack([lo, hi])
 
+    if jax.default_backend() == "tpu":
+        j0w = jnp.tile(jax.lax.bitcast_convert_type(
+            ctr0.reshape(4, 4), jnp.uint32), 32)[None, :]
+        return ctr_fused(kp.reshape(-1, 1), j0w, lohi, pt_stream)
     bits_j0 = (ctr0[:, None] >> np.arange(8)) & 1
     j0c = (bits_j0.T.reshape(128, 1).astype(jnp.uint32) * jnp.uint32(0xFFFFFFFF))
-    fn = ctr_fused if jax.default_backend() == "tpu" else ctr_fused_jnp
-    return fn(kp.reshape(-1, 1), j0c, lohi, pt_stream)
+    return ctr_fused_jnp(kp.reshape(-1, 1), j0c, lohi, pt_stream)
 
 
 _ctr_bulk_jit = jax.jit(ctr_bulk_stream)

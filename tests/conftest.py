@@ -21,10 +21,26 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Persistent compilation cache: first full run pays compile cost once.
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# NOTE: the on-disk persistent compilation cache is intentionally OFF.
+# jaxlib's executable (de)serializer segfaults on some of this suite's
+# large 8-device sharded modules (observed in both the read and write
+# paths, fresh cache, ample disk/RAM).  Within one pytest process the
+# in-memory jit cache already deduplicates compiles, so the persistent
+# cache only ever helped across runs — not worth a crashing test suite.
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Free compiled executables after each test module.  The suite
+    compiles hundreds of large programs (unrolled bitslice circuits,
+    interpret-mode Pallas kernels, 8-device sharded modules); letting
+    them all stay live corrupts jaxlib eventually — three distinct
+    late-suite segfaults observed (cache read, cache write, and plain
+    backend_compile) that never reproduce on module subsets.  Modules
+    are compilation-disjoint, so this costs little."""
+    yield
+    jax.clear_caches()

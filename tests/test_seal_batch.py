@@ -1,0 +1,97 @@
+"""Multi-key fused GCM (modes/seal_batch + ops/pallas_multikey) vs the
+per-message conformance-validated path, plus kernel-vs-twin equality."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from micro_aes_tpu.modes.gcm import gcm_encrypt
+from micro_aes_tpu.modes.seal_batch import gcm_open_batch, gcm_seal_batch
+
+
+def test_seal_batch_mixed_lengths_and_aad():
+    rng = np.random.default_rng(0)
+    B = 6
+    keys = [bytes(rng.integers(0, 256, 16, dtype=np.uint8)) for _ in range(B)]
+    nonces = [bytes(rng.integers(0, 256, 12, dtype=np.uint8))
+              for _ in range(B)]
+    aads = [b"", b"x", b"0123456789abcdef", b"hdr" * 30, b"a" * 16,
+            b"\x00" * 33]
+    pts = [bytes(rng.integers(0, 256, 16 * n, dtype=np.uint8))
+           for n in (1, 7, 32, 100, 33, 64)]
+    got = gcm_seal_batch(keys, nonces, aads, pts)
+    for i in range(B):
+        assert got[i] == gcm_encrypt(keys[i], nonces[i], aads[i], pts[i]), i
+
+
+def test_seal_batch_aes256_and_192():
+    rng = np.random.default_rng(1)
+    for klen in (24, 32):
+        keys = [bytes(rng.integers(0, 256, klen, dtype=np.uint8))
+                for _ in range(3)]
+        nonces = [bytes(rng.integers(0, 256, 12, dtype=np.uint8))
+                  for _ in range(3)]
+        pts = [bytes(rng.integers(0, 256, 16 * n, dtype=np.uint8))
+               for n in (5, 40, 12)]
+        got = gcm_seal_batch(keys, nonces, [b""] * 3, pts)
+        for i in range(3):
+            assert got[i] == gcm_encrypt(keys[i], nonces[i], b"", pts[i]), \
+                (klen, i)
+
+
+def test_open_batch_verify_before_release():
+    rng = np.random.default_rng(2)
+    B = 4
+    keys = [bytes(rng.integers(0, 256, 16, dtype=np.uint8)) for _ in range(B)]
+    nonces = [bytes(rng.integers(0, 256, 12, dtype=np.uint8))
+              for _ in range(B)]
+    aads = [b"h"] * B
+    pts = [bytes(rng.integers(0, 256, 16 * 20, dtype=np.uint8))
+           for _ in range(B)]
+    sealed = gcm_seal_batch(keys, nonces, aads, pts)
+    assert gcm_open_batch(keys, nonces, aads, sealed) == pts
+    bad = list(sealed)
+    bad[1] = bad[1][:-1] + bytes([bad[1][-1] ^ 1])   # tag bit flip
+    bad[3] = bytes([bad[3][0] ^ 1]) + bad[3][1:]     # ct bit flip
+    out = gcm_open_batch(keys, nonces, aads, bad)
+    assert out[0] == pts[0] and out[2] == pts[2]
+    assert out[1] is None and out[3] is None
+
+
+def test_seal_batch_fallback_paths():
+    """Non-12-byte nonce and ragged length route to the general batch
+    engine and still match the per-message path."""
+    rng = np.random.default_rng(3)
+    keys = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+            for _ in range(2)]
+    nonces = [bytes(rng.integers(0, 256, 8, dtype=np.uint8)),
+              bytes(rng.integers(0, 256, 12, dtype=np.uint8))]
+    pts = [bytes(rng.integers(0, 256, 100, dtype=np.uint8)),
+           bytes(rng.integers(0, 256, 160, dtype=np.uint8))]
+    got = gcm_seal_batch(keys, nonces, [b"", b""], pts)
+    for i in range(2):
+        assert got[i] == gcm_encrypt(keys[i], nonces[i], b"", pts[i]), i
+
+
+def test_multikey_kernel_interpret_matches_twin():
+    """ctrw_fused_multikey (interpret mode) vs its vmapped jnp twin."""
+    from micro_aes_tpu.core.bitslice import key_planes
+    from micro_aes_tpu.core.keyschedule import expand_key
+    from micro_aes_tpu.ops.pallas_multikey import (
+        ctrw_fused_multikey,
+        ctrw_fused_multikey_jnp,
+        mk_key_stack,
+    )
+
+    rng = np.random.default_rng(4)
+    b, wm = 3, 16
+    kp_stack = mk_key_stack(
+        [jnp.asarray(key_planes(expand_key(
+            bytes(rng.integers(0, 256, 16, dtype=np.uint8)))))
+         for _ in range(b)])
+    ctrw = jnp.asarray(rng.integers(0, 2**32, (b * wm, 128),
+                                    dtype=np.uint32))
+    ptw = jnp.asarray(rng.integers(0, 2**32, (b * wm, 128),
+                                   dtype=np.uint32))
+    k = np.asarray(ctrw_fused_multikey(kp_stack, ctrw, ptw, b))
+    j = np.asarray(ctrw_fused_multikey_jnp(kp_stack, ctrw, ptw, b))
+    assert np.array_equal(k, j)

@@ -111,6 +111,23 @@ def main() -> int:
     check("bulk Poly1305 == host fold",
           poly1305_aes_bulk(pkeys, pnonce, pt) == poly1305_aes(pkeys, pnonce, pt))
 
+    from micro_aes_tpu.modes.seal_batch import gcm_open_batch, gcm_seal_batch
+
+    bkeys = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+             for _ in range(8)]
+    bnonces = [bytes(rng.integers(0, 256, 12, dtype=np.uint8))
+               for _ in range(8)]
+    baads = [bytes(rng.integers(0, 256, i, dtype=np.uint8))
+             for i in range(8)]
+    bpts = [bytes(rng.integers(0, 256, 16 * (1 + 37 * i), dtype=np.uint8))
+            for i in range(8)]
+    bres = gcm_seal_batch(bkeys, bnonces, baads, bpts)
+    check("multi-key GCM batch == per-message GCM",
+          all(bres[i] == gcm_encrypt(bkeys[i], bnonces[i], baads[i], bpts[i])
+              for i in range(8)))
+    check("multi-key GCM open round-trip",
+          gcm_open_batch(bkeys, bnonces, baads, bres) == bpts)
+
     from micro_aes_tpu.fpe import fpe_encrypt
     from micro_aes_tpu.fpe.device import fpe_decrypt_batch, fpe_encrypt_batch
 
