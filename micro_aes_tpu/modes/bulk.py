@@ -29,6 +29,43 @@ def stack_round_keys(keys: list[bytes]) -> np.ndarray:
     return np.stack([expand_key(k) for k in keys])
 
 
+@functools.lru_cache(maxsize=4096)
+def _kp_cached(key: bytes) -> np.ndarray:
+    from ..core.bitslice import key_planes
+
+    return key_planes(expand_key(key)).reshape(-1, 1)
+
+
+def cipher_blocks_multikey(keys: list, blocks, decrypt: bool = False
+                           ) -> np.ndarray:
+    """E/D over uint8[B, nb, 16] with a key per row.  On TPU with
+    non-trivial sizes this rides the multikey stream kernel
+    (ops/pallas_multikey) — the vmapped gather-cipher fallback runs the
+    256-entry S-box lookup per byte and is ~1000x slower there; off-TPU
+    (or for tiny batches, where window padding dominates) the gather
+    path stays."""
+    blocks = np.ascontiguousarray(blocks, np.uint8)
+    b, nb = blocks.shape[0], blocks.shape[1]
+    if (jax.default_backend() != "tpu" or nb < 32 or b * nb < 2048):
+        rks = jnp.asarray(stack_round_keys([bytes(k) for k in keys]))
+        fn = _dec_vmap if decrypt else _enc_vmap
+        return np.asarray(fn(rks, jnp.asarray(blocks)))
+    from ..ops.pallas_multikey import ctrw_fused_multikey
+    from ..ops.pallas_seal import SEAL_TILE_W
+
+    wm = -(-nb // 32)
+    wm += (-wm) % (SEAL_TILE_W if wm > SEAL_TILE_W else 8)
+    buf = np.zeros((b, wm * 128), np.uint32)
+    buf[:, : nb * 4] = blocks.reshape(b, nb * 16).view(np.uint32)
+    kp_stack = jnp.asarray(np.concatenate(
+        [_kp_cached(bytes(k)) for k in keys]))
+    out = ctrw_fused_multikey(
+        kp_stack, jnp.asarray(buf.reshape(b * wm, 128)),
+        jnp.zeros((b * wm, 128), jnp.uint32), b, decrypt=decrypt)
+    o = np.asarray(out).reshape(b, wm * 128)[:, : nb * 4]
+    return np.ascontiguousarray(o).view(np.uint8).reshape(b, nb, BLOCK)
+
+
 def _pad_blocks_batch(datas: list[np.ndarray], nblocks: int) -> np.ndarray:
     out = np.zeros((len(datas), nblocks, BLOCK), np.uint8)
     for i, d in enumerate(datas):
@@ -112,7 +149,7 @@ def gcm_encrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
     npt = max((len(p) for p in pts), default=0)
     nks = (npt + BLOCK - 1) // BLOCK
     ctrs = jax.vmap(lambda b: counter_blocks(b, nks + 1, 0, "be"))(jnp.asarray(j0))
-    ks_all = np.asarray(_enc_vmap(rks, ctrs))
+    ks_all = cipher_blocks_multikey(keys, np.asarray(ctrs))
     ek_j0, ks = ks_all[:, 0], ks_all[:, 1:]
 
     cts = [bytes(p ^ ks[i].reshape(-1)[: len(p)]) for i, p in enumerate(pts)]
@@ -144,7 +181,7 @@ def gcm_decrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
 
     nks = max(((len(c) + BLOCK - 1) // BLOCK for c in cts), default=0)
     ctrs = jax.vmap(lambda b: counter_blocks(b, nks + 1, 0, "be"))(jnp.asarray(j0))
-    ks_all = np.asarray(_enc_vmap(rks, ctrs))
+    ks_all = cipher_blocks_multikey(keys, np.asarray(ctrs))
     ek_j0, ks = ks_all[:, 0], ks_all[:, 1:]
 
     g = _batch_tag_ghash(h, aads, cts, nks)

@@ -29,18 +29,7 @@ _cbc_vscan = jax.jit(jax.vmap(cbc_encrypt_scan, in_axes=(0, 0, 0)))
 _cfb_vscan = jax.jit(jax.vmap(cfb_encrypt_scan, in_axes=(0, 0, 0)))
 _ofb_vscan = jax.jit(jax.vmap(ofb_keystream_scan, in_axes=(0, 0, 0)))
 
-from .bulk import _enc_vmap, stack_round_keys  # noqa: E402
-
-_dec_vmap = None
-
-
-def _dec_vmap_fn():
-    global _dec_vmap
-    if _dec_vmap is None:
-        from ..core.cipher import decrypt_blocks
-
-        _dec_vmap = jax.jit(jax.vmap(decrypt_blocks))
-    return _dec_vmap
+from .bulk import cipher_blocks_multikey, stack_round_keys  # noqa: E402
 
 
 def _grouped(blocklists: list[np.ndarray], keys: list[bytes]):
@@ -135,7 +124,8 @@ def cbc_decrypt_batch(keys, ivs, cts_in, cts: bool = True) -> list[bytes]:
     out: list[bytes | None] = [None] * len(datas)
     pending: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
     for idxs, rks, buf in _grouped(blocklists, keys):
-        dec = np.asarray(_dec_vmap_fn()(rks, jnp.asarray(buf)))
+        dec = cipher_blocks_multikey([keys[i] for i in idxs], buf,
+                                     decrypt=True)
         for k, i in enumerate(idxs):
             n, r = meta[i]
             d = datas[i]
@@ -161,9 +151,8 @@ def cbc_decrypt_batch(keys, ivs, cts_in, cts: bool = True) -> list[bytes]:
             out[i] = bytes(body)  # completed below
     if pending:
         ys = np.stack([y for _, y, _, _ in pending])[:, None, :]
-        rks2 = jnp.asarray(stack_round_keys(
-            [keys[i] for i, _, _, _ in pending]))
-        dy = np.asarray(_dec_vmap_fn()(rks2, jnp.asarray(ys)))[:, 0]
+        dy = cipher_blocks_multikey(
+            [keys[i] for i, _, _, _ in pending], ys, decrypt=True)[:, 0]
         for k, (i, _, prev_iv, p_tail) in enumerate(pending):
             out[i] = out[i] + bytes(dy[k] ^ prev_iv) + bytes(p_tail)
     return out  # type: ignore[return-value]
@@ -220,7 +209,7 @@ def cfb_decrypt_batch(keys, ivs, cts_in) -> list[bytes]:
         meta.append(nin)
     out: list[bytes | None] = [None] * len(datas)
     for idxs, rks, buf in _grouped(ins, keys):
-        ks = np.asarray(_enc_vmap(rks, jnp.asarray(buf)))
+        ks = cipher_blocks_multikey([keys[i] for i in idxs], buf)
         for k, i in enumerate(idxs):
             d = datas[i]
             out[i] = bytes(ks[k].reshape(-1)[: len(d)] ^ d)
@@ -263,7 +252,7 @@ def ecb_encrypt_batch(keys, pts, padding: int = PAD_ZERO) -> list[bytes]:
                   for p in pts]
     out: list[bytes | None] = [None] * len(pts)
     for idxs, rks, buf in _grouped(blocklists, keys):
-        enc = np.asarray(_enc_vmap(rks, jnp.asarray(buf)))
+        enc = cipher_blocks_multikey([keys[i] for i in idxs], buf)
         for k, i in enumerate(idxs):
             n = len(blocklists[i])
             out[i] = bytes(enc[k, :n].reshape(-1))
@@ -279,7 +268,8 @@ def ecb_decrypt_batch(keys, cts_in) -> list[bytes]:
     blocklists = [d.reshape(-1, BLOCK) for d in datas]
     out: list[bytes | None] = [None] * len(datas)
     for idxs, rks, buf in _grouped(blocklists, keys):
-        dec = np.asarray(_dec_vmap_fn()(rks, jnp.asarray(buf)))
+        dec = cipher_blocks_multikey([keys[i] for i in idxs], buf,
+                                     decrypt=True)
         for k, i in enumerate(idxs):
             n = len(blocklists[i])
             out[i] = bytes(dec[k, :n].reshape(-1))
@@ -313,7 +303,8 @@ def ctr_xcrypt_batch(keys, ivs, datas_in,
         nb = buf.shape[1]
         bb = jnp.asarray(np.stack([bases[i] for i in idxs]))
         ctrs = jax.vmap(lambda b: counter_blocks(b, nb, 0, "be"))(bb)
-        ks = np.asarray(_enc_vmap(rks, ctrs))
+        ks = cipher_blocks_multikey([keys[i] for i in idxs],
+                                    np.asarray(ctrs))
         for k, i in enumerate(idxs):
             d = datas[i]
             out[i] = bytes(ks[k].reshape(-1)[: len(d)] ^ d)
