@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.keyschedule import expand_key
 from ..errors import DataLengthError, DecryptionError
 from ..ops.counter import counter_blocks
 from ..utils.bytesio import BLOCK, block_bucket

@@ -21,7 +21,6 @@ from .common import (
     BLOCK,
     ctr_xcrypt,
     enc_block,
-    round_keys,
     to_u8,
     xmac_blocks,
 )

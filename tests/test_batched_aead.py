@@ -9,8 +9,8 @@ from micro_aes_tpu.modes.bulk import (
     eax_decrypt_batch,
     eax_encrypt_batch,
 )
-from micro_aes_tpu.modes.ccm import ccm_decrypt, ccm_encrypt
-from micro_aes_tpu.modes.eax import eax_decrypt, eax_encrypt
+from micro_aes_tpu.modes.ccm import ccm_encrypt
+from micro_aes_tpu.modes.eax import eax_encrypt
 from micro_aes_tpu.testing import rsp
 
 
@@ -91,7 +91,7 @@ def test_eax_batch_random_vs_single():
 def test_siv_batch_random_vs_single():
     """Batched SIV == per-message SIV on mixed shapes + RFC-5297 KAT."""
     from micro_aes_tpu.modes.bulk import siv_decrypt_batch, siv_encrypt_batch
-    from micro_aes_tpu.modes.siv import siv_decrypt, siv_encrypt
+    from micro_aes_tpu.modes.siv import siv_encrypt
 
     rng = np.random.default_rng(11)
     keys, aads, pts = [], [], []
@@ -119,7 +119,7 @@ def test_siv_batch_random_vs_single():
 def test_kw_batch_random_vs_single():
     """Batched KW == per-message KW; ICV failures isolate per message."""
     from micro_aes_tpu.modes.bulk import key_unwrap_batch, key_wrap_batch
-    from micro_aes_tpu.modes.kw import key_unwrap, key_wrap
+    from micro_aes_tpu.modes.kw import key_wrap
 
     rng = np.random.default_rng(12)
     keks, secrets = [], []

@@ -1,6 +1,4 @@
 """C-style compat layer: names, conventions and numeric codes."""
-import pytest
-
 from micro_aes_tpu import compat
 from micro_aes_tpu.testing import kat
 

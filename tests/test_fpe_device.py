@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from micro_aes_tpu.errors import DecryptionError, EncryptionError
-from micro_aes_tpu.fpe import fpe_decrypt, fpe_encrypt
+from micro_aes_tpu.fpe import fpe_encrypt
 from micro_aes_tpu.fpe.device import fpe_decrypt_batch, fpe_encrypt_batch
 from micro_aes_tpu.testing import kat, rsp
 

@@ -7,7 +7,6 @@ import pytest
 
 from micro_aes_tpu.modes.gcm import gcm_encrypt
 from micro_aes_tpu.modes.seal import gcm_key_setup, gcm_seal
-from micro_aes_tpu.modes.bulk import stack_round_keys
 from micro_aes_tpu.modes.common import enc_blocks_np
 from micro_aes_tpu.parallel.mesh import make_mesh
 from micro_aes_tpu.parallel.sharded import gcm_seal_sharded_fn, shard_adjust_matrices

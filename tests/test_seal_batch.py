@@ -1,6 +1,5 @@
 """Multi-key fused GCM (modes/seal_batch + ops/pallas_multikey) vs the
 per-message conformance-validated path, plus kernel-vs-twin equality."""
-import jax
 import jax.numpy as jnp
 import numpy as np
 

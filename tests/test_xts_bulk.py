@@ -1,7 +1,7 @@
 """Bulk XTS sector engine vs the conformance-validated per-sector path."""
 import numpy as np
 
-from micro_aes_tpu.modes.xts import xts_decrypt, xts_encrypt
+from micro_aes_tpu.modes.xts import xts_encrypt
 from micro_aes_tpu.modes.xts_bulk import xts_open_sectors, xts_seal_sectors
 
 
