@@ -46,8 +46,19 @@ def cipher_blocks_multikey(keys: list, blocks, decrypt: bool = False
     path stays."""
     blocks = np.ascontiguousarray(blocks, np.uint8)
     b, nb = blocks.shape[0], blocks.shape[1]
+    keys = [bytes(k) for k in keys]
+    if len({len(k) for k in keys}) > 1:
+        # mixed key sizes: per-row round counts differ, so neither the
+        # stacked gather path nor one multikey kernel call can mix them
+        # — process each size class and reassemble
+        out = np.empty_like(blocks)
+        for klen in sorted({len(k) for k in keys}):
+            idxs = [i for i, k in enumerate(keys) if len(k) == klen]
+            out[idxs] = cipher_blocks_multikey(
+                [keys[i] for i in idxs], blocks[idxs], decrypt)
+        return out
     if (jax.default_backend() != "tpu" or nb < 32 or b * nb < 2048):
-        rks = jnp.asarray(stack_round_keys([bytes(k) for k in keys]))
+        rks = jnp.asarray(stack_round_keys(keys))
         fn = _dec_vmap if decrypt else _enc_vmap
         return np.asarray(fn(rks, jnp.asarray(blocks)))
     from ..ops.pallas_multikey import ctrw_fused_multikey

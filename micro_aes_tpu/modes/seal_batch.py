@@ -170,7 +170,7 @@ def _seal_batch_core(kp_stack, j0w, front, mask, sel, len_bits, ptw,
     return outw, tags
 
 
-def _fast_path_ok(keys, nonces, pts, tag_len) -> bool:
+def _fast_path_ok(keys, nonces, pts) -> bool:
     klens = {len(k) for k in keys}
     return (len(klens) == 1
             and all(len(n) == 12 for n in nonces)
@@ -231,11 +231,11 @@ def gcm_seal_batch(keys, nonces, aads, pts, tag_len: int = 16) -> list[bytes]:
     nonces = [bytes(n) for n in nonces]
     aads = [bytes(a) for a in aads]
     pts = [bytes(p) for p in pts]
-    if not _fast_path_ok(keys, nonces, pts, tag_len):
+    if not _fast_path_ok(keys, nonces, pts):
         from .bulk import gcm_encrypt_batch
 
         return gcm_encrypt_batch(keys, nonces, aads, pts, tag_len)
-    (b, wm, span, ns, front_np, kp_stack, j0w, front, mask, sel,
+    (b, wm, _, ns, front_np, kp_stack, j0w, front, mask, sel,
      len_bits, ptw) = _prep(keys, nonces, aads, pts)
     outw, tags = _seal_batch_core(kp_stack, j0w, front, mask, sel,
                                   len_bits, ptw, b, wm)
@@ -259,11 +259,11 @@ def gcm_open_batch(keys, nonces, aads, ct_tags,
     data = [bytes(c) for c in ct_tags]
     cts = [d[: len(d) - tag_len] for d in data]
     tags = [d[len(d) - tag_len:] for d in data]
-    if not _fast_path_ok(keys, nonces, cts, tag_len):
+    if not _fast_path_ok(keys, nonces, cts):
         from .bulk import gcm_decrypt_batch
 
         return gcm_decrypt_batch(keys, nonces, aads, data, tag_len)
-    (b, wm, span, ns, front_np, kp_stack, j0w, front, mask, sel,
+    (b, wm, _, ns, front_np, kp_stack, j0w, front, mask, sel,
      len_bits, ptw) = _prep(keys, nonces, aads, cts)
     # open: the expected-tag fold reads INPUT bits everywhere
     outw, expects = _seal_batch_core(kp_stack, j0w, front, mask, mask,

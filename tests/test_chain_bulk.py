@@ -106,3 +106,25 @@ def test_ctr_batch_matches_single():
     for i in range(len(pts)):
         assert outs[i] == ctr.ctr_encrypt(keys[i], fulls[i], pts[i],
                                           preset_counter=True)
+
+
+def test_cipher_blocks_multikey_mixed_key_sizes():
+    """Direct helper check: a batch mixing AES-128/192/256 keys must
+    split into per-size groups (round counts differ) and still match the
+    per-message oracle."""
+    import numpy as np
+
+    from micro_aes_tpu.core.cipher import encrypt_blocks
+    from micro_aes_tpu.core.keyschedule import expand_key
+    from micro_aes_tpu.modes.bulk import cipher_blocks_multikey
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    keys = [bytes(rng.integers(0, 256, klen, dtype=np.uint8))
+            for klen in (16, 32, 24, 16)]
+    blocks = rng.integers(0, 256, (4, 5, 16), dtype=np.uint8)
+    got = cipher_blocks_multikey(keys, blocks)
+    for i, k in enumerate(keys):
+        exp = np.asarray(encrypt_blocks(jnp.asarray(expand_key(k)),
+                                        jnp.asarray(blocks[i])))
+        assert np.array_equal(got[i], exp), i
