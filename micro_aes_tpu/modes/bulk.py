@@ -29,6 +29,38 @@ def stack_round_keys(keys: list[bytes]) -> np.ndarray:
     return np.stack([expand_key(k) for k in keys])
 
 
+def _regroup_mixed_keys(nlists: int):
+    """Make a batch engine accept mixed AES key sizes in one call.
+
+    Round-key schedules of different key sizes have different round
+    counts and cannot stack into one array, so a mixed batch is split
+    into per-key-size sub-batches (at most 3) and the results are
+    reassembled in order.  `nlists` counts the per-message list
+    arguments that follow `keys`; anything after them passes through
+    unchanged.  An empty batch returns []."""
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(keys, *args, **kw):
+            keys = [bytes(k) for k in keys]
+            sizes = {len(k) for k in keys}
+            if not keys:
+                return []
+            if len(sizes) == 1:
+                return fn(keys, *args, **kw)
+            lists, rest = args[:nlists], args[nlists:]
+            out: list = [None] * len(keys)
+            for klen in sorted(sizes):
+                idxs = [i for i, k in enumerate(keys) if len(k) == klen]
+                sub = fn([keys[i] for i in idxs],
+                         *[[lst[i] for i in idxs] for lst in lists],
+                         *rest, **kw)
+                for j, i in enumerate(idxs):
+                    out[i] = sub[j]
+            return out
+        return wrapper
+    return deco
+
+
 @functools.lru_cache(maxsize=4096)
 def _kp_cached(key: bytes) -> np.ndarray:
     from ..core.bitslice import key_planes
@@ -141,6 +173,7 @@ def _batch_tag_ghash(h: np.ndarray, aads: list[np.ndarray],
     )
 
 
+@_regroup_mixed_keys(3)
 def gcm_encrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
                       pts: list[bytes], tag_len: int = 16) -> list[bytes]:
     """AES-GCM over B independent messages; a fixed number of batched
@@ -170,6 +203,7 @@ def gcm_encrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
     return [cts[i] + bytes(tags[i][:tag_len]) for i in range(B)]
 
 
+@_regroup_mixed_keys(3)
 def gcm_decrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
                       ct_tags: list[bytes], tag_len: int = 16,
                       ) -> list[bytes | None]:
@@ -206,6 +240,7 @@ def gcm_decrypt_batch(keys: list[bytes], nonces: list[bytes], aads: list[bytes],
     return out
 
 
+@_regroup_mixed_keys(1)
 def cmac_batch(keys: list[bytes], msgs: list[bytes]) -> list[bytes]:
     """AES-CMAC over B independent messages in one batched fold."""
     from ..ops.mac import double_be_np
@@ -239,6 +274,7 @@ def cmac_batch(keys: list[bytes], msgs: list[bytes]) -> list[bytes]:
     return [bytes(t) for t in np.asarray(out)]
 
 
+@_regroup_mixed_keys(2)
 def xts_batch(keys: list[bytes], tweaks: list[bytes], datas: list[bytes],
               encrypt: bool) -> list[bytes]:
     """Batched XEX over B messages of identical whole-block length."""
@@ -317,6 +353,7 @@ def _omac_batch(rks, t: int, datas: list[np.ndarray]) -> np.ndarray:
         jnp.asarray(blocks), jnp.asarray(nv)))
 
 
+@_regroup_mixed_keys(3)
 def eax_encrypt_batch(keys, nonces, aads, pts, tag_len: int = 16) -> list[bytes]:
     """AES-EAX over B independent messages, batched device folds."""
     B = len(keys)
@@ -340,6 +377,7 @@ def eax_encrypt_batch(keys, nonces, aads, pts, tag_len: int = 16) -> list[bytes]
     return [cts[i] + bytes(tags[i][:tag_len]) for i in range(B)]
 
 
+@_regroup_mixed_keys(3)
 def eax_decrypt_batch(keys, nonces, aads, ct_tags,
                       tag_len: int = 16) -> list[bytes | None]:
     """Batched EAX open (authenticate-then-decrypt, constant-time
@@ -446,6 +484,7 @@ def _ccm_tags_batch(rks, iv0s, aads, pts, tag_len: int) -> np.ndarray:
     return _enc1_batch(rks, iv0s) ^ macs
 
 
+@_regroup_mixed_keys(3)
 def ccm_encrypt_batch(keys, nonces, aads, pts, nonce_len: int | None = None,
                       tag_len: int = 16) -> list[bytes]:
     """AES-CCM over B independent messages, batched device folds.
@@ -472,6 +511,7 @@ def ccm_encrypt_batch(keys, nonces, aads, pts, nonce_len: int | None = None,
     return [cts[i] + bytes(tags[i][:tag_len]) for i in range(B)]
 
 
+@_regroup_mixed_keys(3)
 def ccm_decrypt_batch(keys, nonces, aads, ct_tags,
                       nonce_len: int | None = None,
                       tag_len: int = 16) -> list[bytes | None]:
@@ -590,6 +630,7 @@ def _siv_keystreams(rks2, ivs: np.ndarray, lens: list[int]):
     return np.asarray(_enc_vmap(rks2, ctrs))
 
 
+@_regroup_mixed_keys(2)
 def siv_encrypt_batch(keys, aads, pts) -> list[tuple[bytes, bytes]]:
     """AES_SIV_encrypt (micro_aes.c:1372-1381) over B messages: returns
     (iv, ct) pairs; keys are K1||K2 concatenations as in the scalar API
@@ -606,6 +647,7 @@ def siv_encrypt_batch(keys, aads, pts) -> list[tuple[bytes, bytes]]:
             for i, p in enumerate(pts)]
 
 
+@_regroup_mixed_keys(3)
 def siv_decrypt_batch(keys, ivs, aads, cts) -> list[bytes | None]:
     """Batched SIV open: decrypt, re-synthesize S2V, constant-time verify
     (micro_aes.c:1394-1410); failed messages come back as None."""

@@ -228,6 +228,8 @@ def gcm_seal_batch(keys, nonces, aads, pts, tag_len: int = 16) -> list[bytes]:
     dispatch (12-byte nonces, whole-block messages; other shapes fall
     back to the general engine).  Returns [ct || tag] per message."""
     keys = [bytes(k) for k in keys]
+    if not keys:
+        return []
     nonces = [bytes(n) for n in nonces]
     aads = [bytes(a) for a in aads]
     pts = [bytes(p) for p in pts]
@@ -254,6 +256,8 @@ def gcm_open_batch(keys, nonces, aads, ct_tags,
     """Batched multi-key GCM open, verify-BEFORE-release per message
     (micro_aes.c:1204-1209): failed messages come back as None."""
     keys = [bytes(k) for k in keys]
+    if not keys:
+        return []
     nonces = [bytes(n) for n in nonces]
     aads = [bytes(a) for a in aads]
     data = [bytes(c) for c in ct_tags]

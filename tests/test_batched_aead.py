@@ -138,3 +138,42 @@ def test_kw_batch_random_vs_single():
     backs = key_unwrap_batch(keks, bad)
     for i in range(len(keks)):
         assert backs[i] == (None if i == 1 else secrets[i])
+
+
+def test_mixed_key_sizes_in_one_batch():
+    """Every bulk engine accepts AES-128/192/256 keys in ONE batch call
+    (split per key-size group and reassembled in order — round-key
+    schedules of different round counts cannot stack)."""
+    from micro_aes_tpu.modes import bulk
+    from micro_aes_tpu.modes.cmac import cmac
+    from micro_aes_tpu.modes.gcm import gcm_encrypt
+    from micro_aes_tpu.modes.siv import siv_encrypt
+
+    keys = [bytes(range(16)), bytes(range(32)), bytes(range(24))]
+    nonces = [bytes(12), bytes(range(12)), bytes(range(11, 23))]
+    aads = [b"", b"aad-two", b"x" * 40]
+    pts = [b"A" * 64, b"B" * 33, b""]
+
+    out = bulk.gcm_encrypt_batch(keys, nonces, aads, pts)
+    assert out == [gcm_encrypt(k, n, a, p)
+                   for k, n, a, p in zip(keys, nonces, aads, pts)]
+    assert bulk.gcm_decrypt_batch(keys, nonces, aads, out) == pts
+    assert bulk.gcm_encrypt_batch([], [], [], []) == []
+
+    msgs = [b"m" * 7, b"n" * 32, b""]
+    assert bulk.cmac_batch(keys, msgs) == [cmac(k, m)
+                                           for k, m in zip(keys, msgs)]
+
+    n11 = [n[:11] for n in nonces]
+    got = bulk.ccm_encrypt_batch(keys, n11, aads, pts)
+    assert bulk.ccm_decrypt_batch(keys, n11, aads, got) == pts
+
+    got = bulk.eax_encrypt_batch(keys, nonces, aads, pts)
+    assert bulk.eax_decrypt_batch(keys, nonces, aads, got) == pts
+
+    sivkeys = [bytes(range(32)), bytes(range(64)), bytes(range(48))]
+    got = bulk.siv_encrypt_batch(sivkeys, aads, pts)
+    assert got == [siv_encrypt(k, a, p)
+                   for k, a, p in zip(sivkeys, aads, pts)]
+    assert bulk.siv_decrypt_batch(sivkeys, [iv for iv, _ in got], aads,
+                                  [ct for _, ct in got]) == pts

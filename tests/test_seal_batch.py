@@ -94,3 +94,15 @@ def test_multikey_kernel_interpret_matches_twin():
     k = np.asarray(ctrw_fused_multikey(kp_stack, ctrw, ptw, b))
     j = np.asarray(ctrw_fused_multikey_jnp(kp_stack, ctrw, ptw, b))
     assert np.array_equal(k, j)
+
+
+def test_seal_batch_edge_cases():
+    """Empty batch, empty plaintext (AAD-only), and fully empty message."""
+    keys, nonces = [bytes(range(16))], [bytes(12)]
+    assert gcm_seal_batch([], [], [], []) == []
+    assert gcm_open_batch([], [], [], []) == []
+    out = gcm_seal_batch(keys, nonces, [b"header-only"], [b""])
+    assert out[0] == gcm_encrypt(keys[0], nonces[0], b"header-only", b"")
+    assert gcm_open_batch(keys, nonces, [b"header-only"], out) == [b""]
+    out2 = gcm_seal_batch(keys, nonces, [b""], [b""])
+    assert out2[0] == gcm_encrypt(keys[0], nonces[0], b"", b"")
