@@ -315,15 +315,25 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--mesh", action="store_true",
                         help="run the sharded scaling harness instead")
+    parser.add_argument("--trace", metavar="DIR", default=None,
+                        help="capture a jax.profiler device trace of the "
+                             "benched kernels into DIR (view with "
+                             "tensorboard or xprof; the reference has no "
+                             "profiling layer — SURVEY §5)")
     parser.add_argument("--modes", nargs="*",
                         default=["gcm-seal", "gcm-open", "ctr", "ocb-seal",
                                  "ocb-open", "xts", "gcm-siv", "gcm-multikey",
                                  "poly1305", "fpe", "cipher"])
     args = parser.parse_args(argv)
-    if args.mesh:
-        bench_mesh()
+    run = bench_mesh if args.mesh else (lambda: bench_modes(set(args.modes)))
+    if args.trace:
+        import jax
+
+        with jax.profiler.trace(args.trace):
+            run()
+        print(json.dumps({"trace": args.trace}))
     else:
-        bench_modes(set(args.modes))
+        run()
 
 
 if __name__ == "__main__":

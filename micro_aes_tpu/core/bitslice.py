@@ -6,11 +6,13 @@ oracle only.  Here each of the 128 state bits becomes a *plane* — a uint32
 word holding that bit for 32 blocks — and every AES round is pure XOR/AND
 plane algebra on the VPU:
 
-  * SubBytes  -> basis change into the tower field, a ~40-AND inversion
-                 circuit, basis change back + affine (derived, not copied:
-                 the isomorphism matrices are *searched for* at import
-                 time from the field definitions and verified against all
-                 256 S-box entries);
+  * SubBytes  -> the Boyar–Peralta logic-minimized circuit (forward:
+                 115 gates; inverse: 130 gates, DERIVED at import from
+                 the forward circuit's shared nonlinear middle by
+                 composing its probed linear layers with the inverse
+                 affine map — see the S-box section below); both
+                 directions are verified against all 256 entries of the
+                 algebraically-derived tables at import;
   * ShiftRows -> a static permutation of the 16 byte-position columns;
   * MixColumns-> xtime is a plane-index shuffle + conditional XOR;
   * AddRoundKey-> XOR with broadcast key planes.
@@ -27,71 +29,6 @@ import numpy as np
 
 from .cipher import INV_SHIFT_PERM, SHIFT_PERM
 from .sbox import INV_SBOX, SBOX
-
-# ---------------------------------------------------------------------------
-# Host-side tower-field arithmetic (plain ints) used to derive the matrices
-# ---------------------------------------------------------------------------
-# GF(4) = GF(2)[w]/(w^2+w+1), element = b1<<1 | b0
-# GF(16) = GF(4)[y]/(y^2+y+W), element = c1<<2 | c0  (W = 0b10)
-# GF(256) = GF(16)[z]/(z^2+z+nu), element = d1<<4 | d0
-
-
-def _gf4_mul(a, b):
-    ah, al, bh, bl = a >> 1, a & 1, b >> 1, b & 1
-    t = ah & bh
-    return (((ah & bl) ^ (al & bh) ^ t) << 1) | ((al & bl) ^ t)
-
-
-def _gf16_mul(a, b):
-    a1, a0, b1, b0 = a >> 2, a & 3, b >> 2, b & 3
-    hi = _gf4_mul(a1, b0) ^ _gf4_mul(a0, b1) ^ _gf4_mul(a1, b1)
-    lo = _gf4_mul(a0, b0) ^ _gf4_mul(0b10, _gf4_mul(a1, b1))
-    return (hi << 2) | lo
-
-
-def _make_gf256t_mul(nu):
-    def mul(a, b):
-        a1, a0, b1, b0 = a >> 4, a & 15, b >> 4, b & 15
-        hi = _gf16_mul(a1, b0) ^ _gf16_mul(a0, b1) ^ _gf16_mul(a1, b1)
-        lo = _gf16_mul(a0, b0) ^ _gf16_mul(nu, _gf16_mul(a1, b1))
-        return (hi << 4) | lo
-    return mul
-
-
-def _find_nu():
-    squares_plus = {_gf16_mul(a, a) ^ a for a in range(16)}
-    for nu in range(1, 16):
-        if nu not in squares_plus:
-            return nu
-    raise AssertionError("no irreducible z^2+z+nu found")
-
-
-_NU = _find_nu()
-_TMUL = _make_gf256t_mul(_NU)
-
-
-def _tower_pow(a, k):
-    r = 1
-    for _ in range(k):
-        r = _TMUL(r, a)
-    return r
-
-
-def _find_isomorphism():
-    """Root of the AES polynomial in the tower field -> basis-change
-    matrix M with bits(phi(v)) = M @ bits(v) over GF(2)."""
-    for r in range(2, 256):
-        # p(r) = r^8 + r^4 + r^3 + r + 1 in the tower field
-        p = _tower_pow(r, 8) ^ _tower_pow(r, 4) ^ _tower_pow(r, 3) ^ r ^ 1
-        if p == 0:
-            cols = [_tower_pow(r, i) for i in range(8)]
-            m = np.zeros((8, 8), dtype=np.uint8)
-            for i, c in enumerate(cols):
-                for k in range(8):
-                    m[k, i] = (c >> k) & 1
-            return m
-    raise AssertionError("AES polynomial has no root in tower field")
-
 
 def _gf2_matinv(m):
     n = m.shape[0]
@@ -114,192 +51,255 @@ def _affine_matrix():
     return L
 
 
-_M = _find_isomorphism()           # AES bits -> tower bits
-_MI = _gf2_matinv(_M)              # tower bits -> AES bits
 _L = _affine_matrix()
 _LI = _gf2_matinv(_L)
-
-# Forward S-box: out = (L @ MI) . towerinv(M . x) ^ 0x63
-MAT_IN_F = _M
-MAT_OUT_F = (_L @ _MI) % 2
-CONST_OUT_F = 0x63
-# Inverse S-box: out = MI . towerinv((M @ LI) . x ^ (M @ LI).c) with c=0x63
-MAT_IN_B = (_M @ _LI) % 2
-_c_bits = np.array([(0x63 >> k) & 1 for k in range(8)], np.uint8)
-CONST_IN_B = int.from_bytes(
-    bytes([np.packbits((MAT_IN_B @ _c_bits) % 2, bitorder="little")[0]]), "little"
-)
-MAT_OUT_B = _MI
-CONST_OUT_B = 0
+_C_BITS = np.array([(0x63 >> k) & 1 for k in range(8)], np.uint8)
 
 
 # ---------------------------------------------------------------------------
-# The plane circuit (works on any array type supporting ^ and &)
+# S-box circuit (works on any array type supporting ^, & and ~)
 # ---------------------------------------------------------------------------
-
-def _xor_program(mat) -> tuple[list, list]:
-    """Greedy pair-factoring (Paar) of a GF(2) matrix into a straight-line
-    XOR program.  Returns (ops, outputs): ops are (a, b) signal-index
-    pairs appended after the 8 inputs; outputs[k] is the signal index of
-    row k (or -1 for a zero row)."""
-    rows = [frozenset(i for i in range(8) if mat[k, i]) for k in range(8)]
-    rows = [set(r) for r in rows]
-    nsignals = 8
-    ops: list[tuple[int, int]] = []
-    while True:
-        from collections import Counter
-
-        pairs = Counter()
-        for r in rows:
-            rs = sorted(r)
-            for x in range(len(rs)):
-                for y in range(x + 1, len(rs)):
-                    pairs[(rs[x], rs[y])] += 1
-        if not pairs:
-            break
-        (a, b), cnt = pairs.most_common(1)[0]
-        if cnt < 1 or all(len(r) <= 1 for r in rows):
-            break
-        ops.append((a, b))
-        new = nsignals
-        nsignals += 1
-        for r in rows:
-            if a in r and b in r:
-                r.discard(a)
-                r.discard(b)
-                r.add(new)
-        if all(len(r) <= 1 for r in rows):
-            break
-    outputs = [next(iter(r)) if r else -1 for r in rows]
-    return ops, outputs
+# Forward: the logic-minimized combinational circuit of Boyar & Peralta
+# ("A new combinational logic minimization technique with applications
+# to cryptology", SEA 2010) — 115 gates vs the 178 of the tower-field
+# circuit this replaces; SubBytes dominates every fused kernel, so this
+# is a direct VPU-op reduction on the hot path.  (The reference instead
+# stores both boxes as 256-byte ROM literals, micro_aes.c:41-64.)
+#
+# Inverse: NOT transcribed — DERIVED at import.  The netlist factors as
+# S(x) = bottom(middle(top(x))) with top/bottom linear over GF(2) and a
+# shared nonlinear middle computing the field inversion, so with
+# S(x) = L·inv(x) ^ 0x63 the inverse box S⁻¹(x) = inv(L⁻¹(x ^ 0x63))
+# needs only new linear layers: probe the forward top matrix R (y = R·x)
+# and bottom affine (s = M·z ^ k) with unit vectors, compose both with
+# L⁻¹, and re-factor the composed matrices into straight-line XOR
+# programs (randomized-restart Paar CSE, fixed seed).  The 0x63 input
+# constant becomes NOTs on the planes of its set bits.  130 gates vs
+# the tower inverse's 182.  Both directions are verified against the
+# algebraically-derived tables at import (_selfcheck).
 
 
-def _linmap_with_program(planes, ops, outputs, const=0):
-    signals = list(planes)
+def _bp_top(u):
+    """Top linear layer: u = [U0..U7] MSB-first input bits -> the 22
+    shared signals [y1..y21, U7] the nonlinear middle consumes."""
+    u0, u1, u2, u3, u4, u5, u6, u7 = u
+    y14 = u3 ^ u5
+    y13 = u0 ^ u6
+    y9 = u0 ^ u3
+    y8 = u0 ^ u5
+    t0 = u1 ^ u2
+    y1 = t0 ^ u7
+    y4 = y1 ^ u3
+    y12 = y13 ^ y14
+    y2 = y1 ^ u0
+    y5 = y1 ^ u6
+    y3 = y5 ^ y8
+    t1 = u4 ^ y12
+    y15 = t1 ^ u5
+    y20 = t1 ^ u1
+    y6 = y15 ^ u7
+    y10 = y15 ^ t0
+    y11 = y20 ^ y9
+    y7 = u7 ^ y11
+    y17 = y10 ^ y11
+    y19 = y10 ^ y8
+    y16 = t0 ^ y11
+    y21 = y13 ^ y16
+    y18 = u0 ^ y16
+    return [y1, y2, y3, y4, y5, y6, y7, y8, y9, y10, y11, y12, y13, y14,
+            y15, y16, y17, y18, y19, y20, y21, u7]
+
+
+def _bp_middle(ys):
+    """Shared nonlinear middle (32 AND + 30 XOR): GF(2^8) inversion in
+    the circuit's internal basis; 22 signals in, 18 products out."""
+    (y1, y2, y3, y4, y5, y6, y7, y8, y9, y10, y11, y12, y13, y14, y15,
+     y16, y17, y18, y19, y20, y21, u7) = ys
+    t2 = y12 & y15
+    t3 = y3 & y6
+    t4 = t3 ^ t2
+    t5 = y4 & u7
+    t6 = t5 ^ t2
+    t7 = y13 & y16
+    t8 = y5 & y1
+    t9 = t8 ^ t7
+    t10 = y2 & y7
+    t11 = t10 ^ t7
+    t12 = y9 & y11
+    t13 = y14 & y17
+    t14 = t13 ^ t12
+    t15 = y8 & y10
+    t16 = t15 ^ t12
+    t17 = t4 ^ t14
+    t18 = t6 ^ t16
+    t19 = t9 ^ t14
+    t20 = t11 ^ t16
+    t21 = t17 ^ y20
+    t22 = t18 ^ y19
+    t23 = t19 ^ y21
+    t24 = t20 ^ y18
+    t25 = t21 ^ t22
+    t26 = t21 & t23
+    t27 = t24 ^ t26
+    t28 = t25 & t27
+    t29 = t28 ^ t22
+    t30 = t23 ^ t24
+    t31 = t22 ^ t26
+    t32 = t31 & t30
+    t33 = t32 ^ t24
+    t34 = t23 ^ t33
+    t35 = t27 ^ t33
+    t36 = t24 & t35
+    t37 = t36 ^ t34
+    t38 = t27 ^ t36
+    t39 = t29 & t38
+    t40 = t25 ^ t39
+    t41 = t40 ^ t37
+    t42 = t29 ^ t33
+    t43 = t29 ^ t40
+    t44 = t33 ^ t37
+    t45 = t42 ^ t41
+    return [t44 & y15, t37 & y6, t33 & u7, t43 & y16, t40 & y1,
+            t29 & y7, t42 & y11, t45 & y17, t41 & y10, t44 & y12,
+            t37 & y3, t33 & y4, t43 & y13, t40 & y5, t29 & y2,
+            t42 & y9, t45 & y14, t41 & y8]
+
+
+def _bp_bottom(z):
+    """Bottom affine layer: 18 products -> [S0..S7] MSB-first output
+    bits (the four XNORs realize the 0x63 affine constant)."""
+    (z0, z1, z2, z3, z4, z5, z6, z7, z8, z9, z10, z11, z12, z13, z14,
+     z15, z16, z17) = z
+    t46 = z15 ^ z16
+    t47 = z10 ^ z11
+    t48 = z5 ^ z13
+    t49 = z9 ^ z10
+    t50 = z2 ^ z12
+    t51 = z2 ^ z5
+    t52 = z7 ^ z8
+    t53 = z0 ^ z3
+    t54 = z6 ^ z7
+    t55 = z16 ^ z17
+    t56 = z12 ^ t48
+    t57 = t50 ^ t53
+    t58 = z4 ^ t46
+    t59 = z3 ^ t54
+    t60 = t46 ^ t57
+    t61 = z14 ^ t57
+    t62 = t52 ^ t58
+    t63 = t49 ^ t58
+    t64 = z4 ^ t59
+    t65 = t61 ^ t62
+    t66 = z1 ^ t63
+    s0 = t59 ^ t63
+    s6 = ~(t56 ^ t62)
+    s7 = ~(t48 ^ t60)
+    t67 = t64 ^ t65
+    s3 = t53 ^ t66
+    s4 = t51 ^ t66
+    s5 = t47 ^ t65
+    s1 = ~(t64 ^ s3)
+    s2 = ~(t55 ^ t67)
+    return [s0, s1, s2, s3, s4, s5, s6, s7]
+
+
+def _xor_program(mat, restarts: int = 200, seed: int = 0):
+    """Factor a GF(2) matrix [m, n] into a straight-line XOR program
+    over n inputs via randomized-restart Paar pair-factoring.  Returns
+    (ops, outputs): ops are (a, b) signal-index pairs appended after the
+    n inputs; outputs[k] is the signal index of row k (-1 = zero row)."""
+    import random
+    from collections import Counter
+
+    m, n = mat.shape
+    best = None
+    rng = random.Random(seed)
+    for _ in range(restarts):
+        rows = [set(np.nonzero(mat[r])[0].tolist()) for r in range(m)]
+        nsignals = n
+        ops: list[tuple[int, int]] = []
+        while True:
+            pairs = Counter()
+            for r in rows:
+                rs = sorted(r)
+                for x in range(len(rs)):
+                    for y in range(x + 1, len(rs)):
+                        pairs[(rs[x], rs[y])] += 1
+            if not pairs:
+                break
+            mx = max(pairs.values())
+            cand = sorted(p for p, c in pairs.items() if c == mx)
+            a, b = cand[rng.randrange(len(cand))]
+            ops.append((a, b))
+            new = nsignals
+            nsignals += 1
+            for r in rows:
+                if a in r and b in r:
+                    r.discard(a)
+                    r.discard(b)
+                    r.add(new)
+            if all(len(r) <= 1 for r in rows):
+                break
+        if best is None or len(ops) < len(best[0]):
+            best = (ops, [next(iter(r)) if r else -1 for r in rows])
+    return best
+
+
+def _derive_inverse_programs():
+    """Probe the forward netlist's linear layers and compose them with
+    the inverse affine transform (see the section comment above)."""
+    # top: R[i] = bits of middle-input signal i as a function of x
+    # (x LSB-first; the netlist's U vector is MSB-first)
+    r_mat = np.zeros((22, 8), np.uint8)
+    for b in range(8):
+        x = [0] * 8
+        x[b] = 1
+        r_mat[:, b] = np.array(_bp_top(x[::-1]), np.uint8) & 1
+    # bottom: s = M.z ^ k (probe with ints; ~v flips bit 0 in two's
+    # complement, so masking &1 is exact)
+    k_bits = np.array([_bp_bottom([0] * 18)[7 - b] & 1 for b in range(8)],
+                      np.uint8)
+    m_mat = np.zeros((8, 18), np.uint8)
+    for j in range(18):
+        z = [0] * 18
+        z[j] = 1
+        s = _bp_bottom(z)
+        m_mat[:, j] = np.array([s[7 - b] & 1 for b in range(8)],
+                               np.uint8) ^ k_bits
+    # S⁻¹(x) = inv(w), w = L⁻¹(x ^ c):  y = (R L⁻¹)(x ^ c) feeds the
+    # middle; inv(w) = (L⁻¹ M).z ^ L⁻¹(k ^ c)
+    top = (r_mat @ _LI) % 2
+    bot = (_LI @ m_mat) % 2
+    bot_const = (_LI @ (k_bits ^ _C_BITS)) % 2
+    return (_xor_program(top), _xor_program(bot),
+            [int(v) for v in bot_const])
+
+
+(_INV_TOP_OPS, _INV_TOP_OUT), (_INV_BOT_OPS, _INV_BOT_OUT), _INV_BOT_CONST = \
+    _derive_inverse_programs()
+
+
+def _run_program(inputs, ops, outs, consts=None):
+    signals = list(inputs)
     for a, b in ops:
         signals.append(signals[a] ^ signals[b])
     out = []
-    for k in range(8):
-        idx = outputs[k]
-        acc = signals[idx] if idx >= 0 else planes[0] ^ planes[0]
-        if (const >> k) & 1:
-            acc = ~acc  # XOR with the all-ones plane
+    for k, idx in enumerate(outs):
+        acc = signals[idx] if idx >= 0 else inputs[0] ^ inputs[0]
+        if consts is not None and consts[k]:
+            acc = ~acc
         out.append(acc)
     return out
 
 
-_PROGRAM_CACHE: dict = {}
-
-
-def _linmap(planes, mat, const=0):
-    """out_k = XOR_i mat[k,i]*planes[i]  (^ all-ones where const bit set),
-    via a CSE-factored XOR program (≈half the XORs of the dense form)."""
-    key = mat.tobytes()
-    prog = _PROGRAM_CACHE.get(key)
-    if prog is None:
-        prog = _xor_program(mat)
-        _PROGRAM_CACHE[key] = prog
-    return _linmap_with_program(planes, prog[0], prog[1], const)
-
-
-def _g4_mul(a, b):
-    ah, al = a
-    bh, bl = b
-    t = ah & bh
-    return ((ah & bl) ^ (al & bh) ^ t, (al & bl) ^ t)
-
-
-def _g4_sq(a):
-    ah, al = a
-    return (ah, al ^ ah)
-
-
-def _g4_mul_w(a):  # multiply by W=(1,0): (a1+a0)w + a1
-    ah, al = a
-    return (ah ^ al, ah)
-
-
-def _g16_mul(a, b):
-    a1, a0 = a
-    b1, b0 = b
-    p11 = _g4_mul(a1, b1)
-    p00 = _g4_mul(a0, b0)
-    ps = _g4_mul((a1[0] ^ a0[0], a1[1] ^ a0[1]), (b1[0] ^ b0[0], b1[1] ^ b0[1]))
-    # hi = a1b0 + a0b1 + a1b1 = (ps + p11 + p00) + p11 = ps + p00
-    hi = (ps[0] ^ p00[0], ps[1] ^ p00[1])
-    wl = _g4_mul_w(p11)
-    lo = (p00[0] ^ wl[0], p00[1] ^ wl[1])
-    return (hi, lo)
-
-
-def _g16_sq(a):
-    a1, a0 = a
-    s1 = _g4_sq(a1)
-    s0 = _g4_sq(a0)
-    wl = _g4_mul_w(s1)
-    return (s1, (s0[0] ^ wl[0], s0[1] ^ wl[1]))
-
-
-def _g16_mul_const(a, c):
-    """Multiply GF16 planes by a constant (linear over GF2, trace-time)."""
-    mat = np.zeros((4, 4), dtype=np.uint8)
-    for i in range(4):
-        v = _gf16_mul(1 << i, c)
-        for k in range(4):
-            mat[k, i] = (v >> k) & 1
-    bits = [a[1][1], a[1][0], a[0][1], a[0][0]]  # b0,b1,b2,b3
-    out = []
-    for k in range(4):
-        acc = None
-        for i in range(4):
-            if mat[k, i]:
-                acc = bits[i] if acc is None else acc ^ bits[i]
-        out.append(acc if acc is not None else bits[0] ^ bits[0])
-    return ((out[3], out[2]), (out[1], out[0]))
-
-
-def _g16_inv(a):
-    """GF16 inverse via the GF4 sub-tower: for y^2+y+W,
-    (c1 y + c0)^-1 = c1*d^-1 y + (c0+c1)*d^-1, d = c0^2 + c0 c1 + W c1^2;
-    GF4 inverse is squaring."""
-    c1, c0 = a
-    d = _g4_mul(c0, c1)
-    s0 = _g4_sq(c0)
-    s1w = _g4_mul_w(_g4_sq(c1))
-    d = (d[0] ^ s0[0] ^ s1w[0], d[1] ^ s0[1] ^ s1w[1])
-    dinv = _g4_sq(d)
-    e1 = _g4_mul(c1, dinv)
-    e0 = _g4_mul((c0[0] ^ c1[0], c0[1] ^ c1[1]), dinv)
-    return (e1, e0)
-
-
-def _tower_inv(planes):
-    """GF256 tower inversion on 8 planes [b0..b7]."""
-    d0 = ((planes[3], planes[2]), (planes[1], planes[0]))
-    d1 = ((planes[7], planes[6]), (planes[5], planes[4]))
-
-    def xor16(x, y):
-        return ((x[0][0] ^ y[0][0], x[0][1] ^ y[0][1]),
-                (x[1][0] ^ y[1][0], x[1][1] ^ y[1][1]))
-
-    delta = xor16(_g16_mul(d0, d1), _g16_sq(d0))
-    delta = xor16(delta, _g16_mul_const(_g16_sq(d1), _NU))
-    dinv = _g16_inv(delta)
-    e1 = _g16_mul(d1, dinv)
-    e0 = _g16_mul(xor16(d0, d1), dinv)
-    return [e0[1][1], e0[1][0], e0[0][1], e0[0][0],
-            e1[1][1], e1[1][0], e1[0][1], e1[0][0]]
-
-
 def sbox_planes(planes, forward: bool = True):
-    """Apply (inverse) SubBytes to a list of 8 bit-planes."""
+    """Apply (inverse) SubBytes to a list of 8 bit-planes (LSB-first)."""
     if forward:
-        t = _linmap(planes, MAT_IN_F)
-        inv = _tower_inv(t)
-        return _linmap(inv, MAT_OUT_F, CONST_OUT_F)
-    t = _linmap(planes, MAT_IN_B, CONST_IN_B)
-    inv = _tower_inv(t)
-    return _linmap(inv, MAT_OUT_B, CONST_OUT_B)
+        return _bp_bottom(_bp_middle(_bp_top(planes[::-1])))[::-1]
+    x = [~planes[b] if _C_BITS[b] else planes[b] for b in range(8)]
+    ys = _run_program(x, _INV_TOP_OPS, _INV_TOP_OUT)
+    z = _bp_middle(ys)
+    return _run_program(z, _INV_BOT_OPS, _INV_BOT_OUT, _INV_BOT_CONST)
 
 
 def _xtime_planes(p):
@@ -463,17 +463,11 @@ def _mix_columns_planes(p):
 
 
 def _inv_mix_columns_planes(p):
-    x2 = _xtime_planes(p)
-    x4 = _xtime_planes(x2)
-    x8 = _xtime_planes(x4)
-    m9 = [x8[b] ^ p[b] for b in range(8)]
-    mb = [x8[b] ^ x2[b] ^ p[b] for b in range(8)]
-    md = [x8[b] ^ x4[b] ^ p[b] for b in range(8)]
-    me = [x8[b] ^ x4[b] ^ x2[b] for b in range(8)]
-    return [me[b]
-            ^ _roll_rows(mb[b], 1)
-            ^ _roll_rows(md[b], 2)
-            ^ _roll_rows(m9[b], 3) for b in range(8)]
+    """InvMixColumns = MixColumns ∘ (column multiply by d(z) = {04}z² +
+    {05}), since c(z)·d(z) = c⁻¹(z) mod z⁴+1 — 60 XOR vs 89 direct."""
+    x4 = _xtime_planes(_xtime_planes(p))
+    pre = [p[b] ^ x4[b] ^ _roll_rows(x4[b], 2) for b in range(8)]
+    return _mix_columns_planes(pre)
 
 
 def encrypt_planes(kp: jax.Array, planes: jax.Array) -> jax.Array:

@@ -47,17 +47,12 @@ def _mix_columns(p):
 
 
 def _inv_mix_columns(p):
-    x2 = _xtime_planes(p)
-    x4 = _xtime_planes(x2)
-    x8 = _xtime_planes(x4)
-    m9 = [x8[b] ^ p[b] for b in range(8)]
-    mb = [x8[b] ^ x2[b] ^ p[b] for b in range(8)]
-    md = [x8[b] ^ x4[b] ^ p[b] for b in range(8)]
-    me = [x8[b] ^ x4[b] ^ x2[b] for b in range(8)]
-    return [me[b]
-            ^ _permute_rows(mb[b], _ROLL_PERMS[1])
-            ^ _permute_rows(md[b], _ROLL_PERMS[2])
-            ^ _permute_rows(m9[b], _ROLL_PERMS[3]) for b in range(8)]
+    """InvMixColumns = MixColumns ∘ (column multiply by d(z) = {04}z² +
+    {05}), since c(z)·d(z) = c⁻¹(z) mod z⁴+1 — 60 XOR vs 89 direct."""
+    x4 = _xtime_planes(_xtime_planes(p))
+    pre = [p[b] ^ x4[b] ^ _permute_rows(x4[b], _ROLL_PERMS[2])
+           for b in range(8)]
+    return _mix_columns(pre)
 
 
 def _key_slice(kp_ref, r: int, b: int):

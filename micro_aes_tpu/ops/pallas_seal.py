@@ -152,20 +152,14 @@ def _shift_rows_rm_inv(x):
 
 
 def _inv_mix_columns_rm(p):
-    """InvMixColumns on rm-layout planes (full-rotation row selections)."""
+    """InvMixColumns on rm-layout planes: MixColumns ∘ (column multiply
+    by d(z) = {04}z² + {05}), since c(z)·d(z) = c⁻¹(z) mod z⁴+1 —
+    60 XOR vs 89 direct."""
     from jax.experimental.pallas import tpu as _pltpu
 
-    x2 = _xtime_planes(p)
-    x4 = _xtime_planes(x2)
-    x8 = _xtime_planes(x4)
-    m9 = [x8[b] ^ p[b] for b in range(8)]
-    mb = [x8[b] ^ x2[b] ^ p[b] for b in range(8)]
-    md = [x8[b] ^ x4[b] ^ p[b] for b in range(8)]
-    me = [x8[b] ^ x4[b] ^ x2[b] for b in range(8)]
-    return [me[b]
-            ^ _pltpu.roll(mb[b], 12, 0)
-            ^ _pltpu.roll(md[b], 8, 0)
-            ^ _pltpu.roll(m9[b], 4, 0) for b in range(8)]
+    x4 = _xtime_planes(_xtime_planes(p))
+    pre = [p[b] ^ x4[b] ^ _pltpu.roll(x4[b], 8, 0) for b in range(8)]
+    return _mix_columns_rm(pre)
 
 
 def _cipher_rounds_dec(rounds: int, kp, p):
