@@ -62,3 +62,35 @@ def test_key_schedule_shapes():
     np.testing.assert_array_equal(
         expand_key(kat.FIPS_KEY128)[0], np.frombuffer(kat.FIPS_KEY128, np.uint8)
     )
+
+
+def test_sbox_circuit_gate_counts():
+    """Pin the S-box circuit sizes (every fused kernel's dominant cost):
+    a regression here silently costs double-digit throughput.  Forward
+    is the Boyar-Peralta netlist; the inverse is derived at import, so
+    its count depends on the randomized Paar factoring (fixed seed)."""
+    from micro_aes_tpu.core import bitslice as bs
+
+    class G:
+        xor = 0
+        and_ = 0
+        not_ = 0
+
+        def __xor__(self, o):
+            G.xor += 1
+            return G()
+
+        def __and__(self, o):
+            G.and_ += 1
+            return G()
+
+        def __invert__(self):
+            G.not_ += 1
+            return G()
+
+    for fwd, limit in ((True, 119), (False, 132)):
+        G.xor = G.and_ = G.not_ = 0
+        bs.sbox_planes([G() for _ in range(8)], fwd)
+        total = G.xor + G.and_ + G.not_
+        assert total <= limit, (fwd, total)
+        assert G.and_ == 32  # the shared nonlinear middle is fixed
