@@ -29,7 +29,7 @@ def _marginal_rate(make_loop, x0, nbytes_per_iter, r1=8, r2=40):
         for k in range(3):
             # every timed call must see DISTINCT input data (the remote
             # tunnel caches runs by content), so fold r into the value
-            xv = x0 + x0.dtype.type(16 * r + k + 1)
+            xv = x0 + x0.dtype.type((16 * r + k) % 251 + 1)
             xv.block_until_ready()
             t0 = time.time()
             jax.tree_util.tree_map(lambda v: v.block_until_ready(), loop(xv))
@@ -236,6 +236,22 @@ def bench_modes(selected):
         _emit("FF1 encrypt (10k tokens, digits len16)",
               ntok / sorted(ts)[1], unit="tokens/s")
 
+    if "cbc-chains" in selected:
+        from micro_aes_tpu.core.bitslice import key_planes_packed
+        from micro_aes_tpu.modes._scan import cbc_encrypt_scan_packed
+        from micro_aes_tpu.modes.bulk import stack_round_keys
+
+        bm, nb = 4096, 256  # 4096 messages x 4 KiB: the serial-chain
+        # engine parallelizes ACROSS messages, lane-packed (SURVEY §2.6)
+        kpw = jnp.asarray(key_planes_packed(stack_round_keys([key] * bm)))
+        ivs = jnp.zeros((bm, 16), jnp.uint8)
+        blocks0 = jnp.zeros((bm, nb, 16), jnp.uint8)
+
+        def step(c):
+            return cbc_encrypt_scan_packed(kpw, ivs, c)
+        _emit("AES-256-CBC encrypt chains (4096 msgs x 4 KiB)",
+              _marginal_rate(loop_of(step), blocks0, bm * nb * 16))
+
     if "cipher" in selected:
         from micro_aes_tpu.ops.pallas_cipher import TILE_W, cipher_planes_auto
 
@@ -323,7 +339,7 @@ def main(argv=None):
     parser.add_argument("--modes", nargs="*",
                         default=["gcm-seal", "gcm-open", "ctr", "ocb-seal",
                                  "ocb-open", "xts", "gcm-siv", "gcm-multikey",
-                                 "poly1305", "fpe", "cipher"])
+                                 "poly1305", "fpe", "cbc-chains", "cipher"])
     args = parser.parse_args(argv)
     run = bench_mesh if args.mesh else (lambda: bench_modes(set(args.modes)))
     if args.trace:

@@ -446,6 +446,35 @@ def key_planes(round_keys: np.ndarray) -> np.ndarray:
     return (bits.transpose(0, 2, 1).astype(np.uint32) * 0xFFFFFFFF)
 
 
+def key_planes_packed(rks_stack: np.ndarray) -> np.ndarray:
+    """uint8[B, R+1, 16] per-message round keys -> uint32[R+1, 8, 16, W]
+    lane-PACKED key plane words: bit j of [r, b, pos, w] = bit b of byte
+    pos of round key r of message 32w+j.  The multikey form of
+    key_planes, for engines whose 32 word lanes hold DIFFERENT messages'
+    state (the batched chain scans); B must be a multiple of 32."""
+    rks_stack = np.asarray(rks_stack, np.uint8)
+    b, nr = rks_stack.shape[0], rks_stack.shape[1]
+    assert b % 32 == 0
+    bits = (rks_stack[:, :, :, None] >> np.arange(8)) & 1  # [B,R+1,16,8]
+    lanes = bits.transpose(1, 3, 2, 0).reshape(nr, 8, 16, b // 32, 32)
+    return (lanes.astype(np.uint64)
+            << np.arange(32, dtype=np.uint64)).sum(-1).astype(np.uint32)
+
+
+def encrypt_planes_multikey(kpw: jax.Array, planes: jax.Array) -> jax.Array:
+    """Bitsliced encryption with PER-LANE keys: kpw uint32[R+1,8,16,W]
+    from key_planes_packed, planes uint32[8,16,W]."""
+    rounds = kpw.shape[0] - 1
+    p = [planes[b] ^ kpw[0, b] for b in range(8)]
+    for r in range(1, rounds + 1):
+        p = sbox_planes(p, True)
+        p = [x[SHIFT_PERM, :] for x in p]
+        if r != rounds:
+            p = _mix_columns_planes(p)
+        p = [p[b] ^ kpw[r, b] for b in range(8)]
+    return jnp.stack(p)
+
+
 def _roll_rows(planes, k):
     """Rotate byte positions within each column: p=4c+r -> 4c+(r+k)%4.
     planes: [..., 16, W] indexed by byte position on axis -2."""

@@ -47,3 +47,73 @@ def ofb_keystream_scan(round_keys, iv, nblocks_arr):
 
     _, ks = jax.lax.scan(step, iv, nblocks_arr)
     return ks
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed chain scans: the TPU-first formulation.  The vmapped scans
+# above run the gather-cipher per message (fine on CPU; ~1000x slower than
+# the plane circuit on TPU).  Here the scan runs over the BLOCK index with
+# the whole message batch bit-packed into planes — 32 messages per uint32
+# word, per-lane keys via core.bitslice.key_planes_packed — so each serial
+# step is one bitsliced cipher over the full batch.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def cbc_encrypt_scan_packed(kpw, ivs, blocks):
+    """Batch-bitsliced CBC chains: ivs uint8[B,16], blocks uint8[B,nb,16],
+    kpw uint32[R+1,8,16,B/32]; B % 32 == 0.  Returns uint8[B,nb,16]."""
+    from ..core.bitslice import (
+        encrypt_planes_multikey,
+        pack_planes,
+        unpack_planes,
+    )
+
+    b = ivs.shape[0]
+    x = jax.vmap(pack_planes, in_axes=1)(blocks)  # [nb, 8, 16, W]
+
+    def step(carry, xp):
+        y = encrypt_planes_multikey(kpw, carry ^ xp)
+        return y, y
+
+    _, ys = jax.lax.scan(step, pack_planes(ivs), x)
+    return jax.vmap(lambda p: unpack_planes(p, b), out_axes=1)(ys)
+
+
+@jax.jit
+def cfb_encrypt_scan_packed(kpw, ivs, blocks):
+    """Batch-bitsliced CFB encrypt chains (y = E(carry) ^ x; iv = y)."""
+    from ..core.bitslice import (
+        encrypt_planes_multikey,
+        pack_planes,
+        unpack_planes,
+    )
+
+    b = ivs.shape[0]
+    x = jax.vmap(pack_planes, in_axes=1)(blocks)
+
+    def step(carry, xp):
+        y = encrypt_planes_multikey(kpw, carry) ^ xp
+        return y, y
+
+    _, ys = jax.lax.scan(step, pack_planes(ivs), x)
+    return jax.vmap(lambda p: unpack_planes(p, b), out_axes=1)(ys)
+
+
+@jax.jit
+def ofb_keystream_scan_packed(kpw, ivs, nblocks_arr):
+    """Batch-bitsliced OFB keystreams (iv_{i+1} = E(iv_i))."""
+    from ..core.bitslice import (
+        encrypt_planes_multikey,
+        pack_planes,
+        unpack_planes,
+    )
+
+    b = ivs.shape[0]
+
+    def step(carry, _):
+        y = encrypt_planes_multikey(kpw, carry)
+        return y, y
+
+    _, ks = jax.lax.scan(step, pack_planes(ivs), nblocks_arr)
+    return jax.vmap(lambda p: unpack_planes(p, b), out_axes=1)(ks)

@@ -28,22 +28,75 @@ _cbc_vscan = jax.jit(jax.vmap(cbc_encrypt_scan, in_axes=(0, 0, 0)))
 _cfb_vscan = jax.jit(jax.vmap(cfb_encrypt_scan, in_axes=(0, 0, 0)))
 _ofb_vscan = jax.jit(jax.vmap(ofb_keystream_scan, in_axes=(0, 0, 0)))
 
+from ._scan import (  # noqa: E402
+    cbc_encrypt_scan_packed,
+    cfb_encrypt_scan_packed,
+    ofb_keystream_scan_packed,
+)
 from .bulk import cipher_blocks_multikey, stack_round_keys  # noqa: E402
 
 
 def _grouped(blocklists: list[np.ndarray], keys: list[bytes]):
-    """Yield (bucket, idxs, rks, padded_blocks[B,nb,16]) with one jit
-    specialization per (bucket, key size)."""
+    """Yield (bucket, idxs, rks[B,R+1,16] numpy, padded_blocks[B,nb,16])
+    with one jit specialization per (bucket, key size)."""
     groups: dict[tuple[int, int], list[int]] = {}
     for i, bl in enumerate(blocklists):
         b = block_bucket(max(len(bl), 1))
         groups.setdefault((b, len(keys[i])), []).append(i)
     for (b, _), idxs in groups.items():
-        rks = jnp.asarray(stack_round_keys([keys[i] for i in idxs]))
+        rks = stack_round_keys([keys[i] for i in idxs])
         buf = np.zeros((len(idxs), b, BLOCK), np.uint8)
         for k, i in enumerate(idxs):
             buf[k, : len(blocklists[i])] = blocklists[i]
         yield idxs, rks, buf
+
+
+def _use_packed_chains() -> bool:
+    """The lane-packed scans are the TPU path; the vmapped gather-cipher
+    scans stay for CPU (where the plane circuit compiles slowly and the
+    gather is fast).  MICRO_AES_CHAIN_BITSLICE=0/1 overrides — the CPU
+    differential test forces the packed path on tiny shapes."""
+    import os
+
+    v = os.environ.get("MICRO_AES_CHAIN_BITSLICE")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _chain_group(kind: str, rks: np.ndarray, ivb: np.ndarray,
+                 buf: np.ndarray) -> np.ndarray:
+    """Run one (bucket, key-size) group of serial chains: the lane-packed
+    bitsliced scan on TPU (32 messages per word, per-lane keys), the
+    vmapped per-message scan elsewhere.  For OFB, buf's block contents
+    are ignored (keystream only)."""
+    b = rks.shape[0]
+    if not _use_packed_chains():
+        rj, ivj = jnp.asarray(rks), jnp.asarray(ivb)
+        if kind == "cbc":
+            return np.asarray(_cbc_vscan(rj, ivj, jnp.asarray(buf)))
+        if kind == "cfb":
+            return np.asarray(_cfb_vscan(rj, ivj, jnp.asarray(buf)))
+        return np.asarray(_ofb_vscan(rj, ivj,
+                                     jnp.asarray(buf[..., :1])))
+    from ..core.bitslice import key_planes_packed
+
+    pad = (-b) % 32
+    if pad:
+        rks = np.concatenate([rks, np.repeat(rks[-1:], pad, axis=0)])
+        ivb = np.concatenate([ivb, np.zeros((pad, BLOCK), np.uint8)])
+        buf = np.concatenate(
+            [buf, np.zeros((pad,) + buf.shape[1:], np.uint8)])
+    kpw = jnp.asarray(key_planes_packed(rks))
+    ivj = jnp.asarray(ivb)
+    if kind == "cbc":
+        ys = cbc_encrypt_scan_packed(kpw, ivj, jnp.asarray(buf))
+    elif kind == "cfb":
+        ys = cfb_encrypt_scan_packed(kpw, ivj, jnp.asarray(buf))
+    else:
+        ys = ofb_keystream_scan_packed(kpw, ivj,
+                                       jnp.zeros(buf.shape[1], jnp.uint8))
+    return np.asarray(ys)[:b]
 
 
 # ---------------------------------------------------------------------------
@@ -83,8 +136,8 @@ def cbc_encrypt_batch(keys, ivs, pts, cts: bool = True,
 
     out: list[bytes | None] = [None] * len(datas)
     for idxs, rks, buf in _grouped(chains, keys):
-        ivb = jnp.asarray(np.stack([iv_arr[i] for i in idxs]))
-        ys = np.asarray(_cbc_vscan(rks, ivb, jnp.asarray(buf)))
+        ivb = np.stack([iv_arr[i] for i in idxs])
+        ys = _chain_group("cbc", rks, ivb, buf)
         for k, i in enumerate(idxs):
             n, r = meta[i]
             c = ys[k]
@@ -178,8 +231,8 @@ def cfb_encrypt_batch(keys, ivs, pts) -> list[bytes]:
         meta.append((n, r))
     out: list[bytes | None] = [None] * len(datas)
     for idxs, rks, buf in _grouped(chains, keys):
-        ivb = jnp.asarray(np.stack([iv_arr[i] for i in idxs]))
-        ys = np.asarray(_cfb_vscan(rks, ivb, jnp.asarray(buf)))
+        ivb = np.stack([iv_arr[i] for i in idxs])
+        ys = _chain_group("cfb", rks, ivb, buf)
         for k, i in enumerate(idxs):
             n, r = meta[i]
             body = ys[k, :n].reshape(-1)
@@ -228,8 +281,8 @@ def ofb_xcrypt_batch(keys, ivs, datas_in) -> list[bytes]:
                for d in datas]
     out: list[bytes | None] = [None] * len(datas)
     for idxs, rks, buf in _grouped(dummies, keys):
-        ivb = jnp.asarray(np.stack([iv_arr[i] for i in idxs]))
-        ks = np.asarray(_ofb_vscan(rks, ivb, jnp.asarray(buf[..., :1])))
+        ivb = np.stack([iv_arr[i] for i in idxs])
+        ks = _chain_group("ofb", rks, ivb, buf)
         for k, i in enumerate(idxs):
             d = datas[i]
             out[i] = bytes(ks[k].reshape(-1)[: len(d)] ^ d)

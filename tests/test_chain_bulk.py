@@ -128,3 +128,37 @@ def test_cipher_blocks_multikey_mixed_key_sizes():
         exp = np.asarray(encrypt_blocks(jnp.asarray(expand_key(k)),
                                         jnp.asarray(blocks[i])))
         assert np.array_equal(got[i], exp), i
+
+
+def test_packed_chain_scans_match_vmapped():
+    """The lane-packed bitsliced chain engines (TPU path: 32 messages
+    per word, per-lane keys) are bit-exact vs the vmapped per-message
+    scans (CPU path) — mixed per-lane keys, ragged batch (B % 32 != 0
+    exercises the pad), CBC/CFB/OFB."""
+    import os
+
+    from micro_aes_tpu.modes.chain_bulk import (
+        cbc_encrypt_batch,
+        cfb_encrypt_batch,
+        ofb_xcrypt_batch,
+    )
+
+    rng = np.random.default_rng(21)
+    nmsg = 5
+    keys = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+            for _ in range(nmsg)]
+    ivs = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+           for _ in range(nmsg)]
+    pts = [rng.integers(0, 256, ln, dtype=np.uint8).tobytes()
+           for ln in (16, 33, 64, 100, 160)]
+
+    runs = {}
+    for forced in ("0", "1"):
+        os.environ["MICRO_AES_CHAIN_BITSLICE"] = forced
+        try:
+            runs[forced] = (cbc_encrypt_batch(keys, ivs, pts),
+                            cfb_encrypt_batch(keys, ivs, pts),
+                            ofb_xcrypt_batch(keys, ivs, pts))
+        finally:
+            del os.environ["MICRO_AES_CHAIN_BITSLICE"]
+    assert runs["0"] == runs["1"]
