@@ -238,17 +238,18 @@ def bench_modes(selected):
 
     if "cbc-chains" in selected:
         from micro_aes_tpu.core.bitslice import key_planes_packed
-        from micro_aes_tpu.modes._scan import cbc_encrypt_scan_packed
         from micro_aes_tpu.modes.bulk import stack_round_keys
+        from micro_aes_tpu.ops.pallas_chain import chain_packed_fused
 
         bm, nb = 4096, 256  # 4096 messages x 4 KiB: the serial-chain
-        # engine parallelizes ACROSS messages, lane-packed (SURVEY §2.6)
+        # engine parallelizes ACROSS messages, lane-packed, with the
+        # block loop VMEM-resident inside the kernel (SURVEY §2.6)
         kpw = jnp.asarray(key_planes_packed(stack_round_keys([key] * bm)))
         ivs = jnp.zeros((bm, 16), jnp.uint8)
         blocks0 = jnp.zeros((bm, nb, 16), jnp.uint8)
 
         def step(c):
-            return cbc_encrypt_scan_packed(kpw, ivs, c)
+            return chain_packed_fused("cbc", kpw, ivs, c)
         _emit("AES-256-CBC encrypt chains (4096 msgs x 4 KiB)",
               _marginal_rate(loop_of(step), blocks0, bm * nb * 16))
 

@@ -89,7 +89,12 @@ def _chain_group(kind: str, rks: np.ndarray, ivb: np.ndarray,
             [buf, np.zeros((pad,) + buf.shape[1:], np.uint8)])
     kpw = jnp.asarray(key_planes_packed(rks))
     ivj = jnp.asarray(ivb)
-    if kind == "cbc":
+    if jax.default_backend() == "tpu":
+        # VMEM-resident Pallas chain kernel (carry never leaves VMEM)
+        from ..ops.pallas_chain import chain_packed_fused
+
+        ys = chain_packed_fused(kind, kpw, ivj, jnp.asarray(buf))
+    elif kind == "cbc":
         ys = cbc_encrypt_scan_packed(kpw, ivj, jnp.asarray(buf))
     elif kind == "cfb":
         ys = cfb_encrypt_scan_packed(kpw, ivj, jnp.asarray(buf))

@@ -1,0 +1,157 @@
+"""Pallas TPU chain kernels: CBC/CFB encrypt + OFB keystream with the
+loop-carried block dependency INSIDE the kernel.
+
+The XLA scan form of the lane-packed chain engines (modes/_scan.
+*_scan_packed) round-trips the carry and per-step planes through HBM on
+every block step — each step is a tiny dispatch and the chip idles
+between them.  Here the serial loop runs inside the kernel: the carry
+planes stay in VMEM across all steps of a segment, so HBM traffic is
+one read of the input planes + one write of the outputs per segment.
+
+Layout is the lane-packed multikey form (32 messages per uint32 word,
+per-lane round keys from core.bitslice.key_planes_packed): within one
+message the chain is strictly serial (SURVEY §3.2), across messages the
+word lanes carry the parallelism.
+
+Parity: CBC chain micro_aes.c:712-717, CFB c:799-817 (mode=1), OFB
+c:872-876.  Bit-equality with the scan twins is pinned by
+tests/test_chain_bulk.py (interpret mode off-TPU).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.bitslice import sbox_planes
+from ..core.cipher import SHIFT_PERM
+from .pallas_cipher import _mix_columns, _permute_rows
+
+# steps per kernel segment: x/y segments are [SEG*128, 128] u32 (4 MB
+# each) + ~1 MB of key planes — inside the ~16 MB VMEM budget.  Tile
+# width stays 128: wider tiles measured NO gain (2.42 vs 2.61 GB/s at
+# 512 — the serial chain is latency-bound on the round circuit's
+# dependency depth, not op width) and at W=2048 XLA places the full
+# outputs in scoped VMEM and OOMs.
+CHAIN_SEG = 64
+
+
+def _tile_for(w: int) -> int:
+    return 128 if w % 128 == 0 else w
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kpw_slice(kpw_ref, r: int, b: int):
+    """Static [16, TILE] slice of the [(R+1)*128, TILE] per-lane key
+    planes (unlike pallas_cipher._key_slice these are full-width: each
+    lane bit carries its own message's key)."""
+    base = r * 128 + b * 16
+    return kpw_ref[base: base + 16, :]
+
+
+def _cipher_lanekeys(rounds: int, kpw_ref, p):
+    """Bitsliced encrypt of 8 [16, TILE] position-layout planes with
+    per-lane keys."""
+    p = [p[b] ^ _kpw_slice(kpw_ref, 0, b) for b in range(8)]
+    for r in range(1, rounds + 1):
+        p = sbox_planes(p, True)
+        p = [_permute_rows(x, SHIFT_PERM) for x in p]
+        if r != rounds:
+            p = _mix_columns(p)
+        p = [p[b] ^ _kpw_slice(kpw_ref, r, b) for b in range(8)]
+    return p
+
+
+def _chain_kernel(kind: str, rounds: int, nsteps: int, kpw_ref, c_ref,
+                  x_ref, y_ref, co_ref):
+    def body(i, carry):
+        x = x_ref[pl.ds(i * 128, 128), :]
+        xp = [x[b * 16:(b + 1) * 16, :] for b in range(8)]
+        if kind == "cbc":      # y = E(carry ^ x); carry = y   (c:712-717)
+            out = _cipher_lanekeys(
+                rounds, kpw_ref, [carry[b] ^ xp[b] for b in range(8)])
+        elif kind == "cfb":    # y = E(carry) ^ x; carry = y   (c:808-814)
+            ks = _cipher_lanekeys(rounds, kpw_ref, list(carry))
+            out = [ks[b] ^ xp[b] for b in range(8)]
+        else:                  # ofb: y = E(carry); carry = y  (c:872-876)
+            out = _cipher_lanekeys(rounds, kpw_ref, list(carry))
+        y_ref[pl.ds(i * 128, 128), :] = jnp.concatenate(out, axis=0)
+        return tuple(out)
+
+    carry0 = tuple(c_ref[b * 16:(b + 1) * 16, :] for b in range(8))
+    carry = jax.lax.fori_loop(0, nsteps, body, carry0)
+    co_ref[:] = jnp.concatenate(list(carry), axis=0)
+
+
+def _chain_seg(kind: str, rounds: int, nsteps: int, tile: int,
+               kpw2, c2, x2):
+    w = x2.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_chain_kernel, kind, rounds, nsteps),
+        interpret=_interpret(),
+        out_shape=(
+            jax.ShapeDtypeStruct((nsteps * 128, w), jnp.uint32),
+            jax.ShapeDtypeStruct((128, w), jnp.uint32),
+        ),
+        grid=(w // tile,),
+        in_specs=[
+            pl.BlockSpec((kpw2.shape[0], tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsteps * 128, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nsteps * 128, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(kpw2, c2, x2)
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def chain_fused(kind: str, kpw, carry0, x):
+    """kpw uint32[R+1,8,16,W] (key_planes_packed), carry0 uint32[8,16,W],
+    x uint32[nb,8,16,W] -> (y uint32[nb,8,16,W], carry uint32[8,16,W]).
+    Each grid tile's 32-message lanes are independent chains; segments
+    of CHAIN_SEG steps bound VMEM, with the carry threaded between
+    segment calls (W*512 B — ~3% of a segment's data)."""
+    nb, _, _, w = x.shape
+    rounds = kpw.shape[0] - 1
+    tile = _tile_for(w)
+    seg = CHAIN_SEG
+    kpw2 = kpw.reshape(-1, w)
+    c2 = carry0.reshape(128, w)
+    x2 = x.reshape(nb * 128, w)
+    ys = []
+    i = 0
+    while i < nb:
+        nsteps = min(seg, nb - i)
+        y, c2 = _chain_seg(kind, rounds, nsteps, tile, kpw2, c2,
+                           jax.lax.slice(x2, (i * 128, 0),
+                                         ((i + nsteps) * 128, w)))
+        ys.append(y)
+        i += nsteps
+    out = jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0]
+    return out.reshape(nb, 8, 16, w), c2.reshape(8, 16, w)
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def chain_packed_fused(kind: str, kpw, ivs, blocks):
+    """uint8-level wrapper matching the modes/_scan.*_scan_packed
+    contract: ivs uint8[B,16], blocks uint8[B,nb,16] (contents ignored
+    for OFB), B % 32 == 0 -> uint8[B,nb,16]."""
+    from ..core.bitslice import pack_planes, unpack_planes
+
+    b = ivs.shape[0]
+    x = jax.vmap(pack_planes, in_axes=1)(blocks)
+    y, _ = chain_fused(kind, kpw, pack_planes(ivs), x)
+    return jax.vmap(lambda p: unpack_planes(p, b), out_axes=1)(y)

@@ -162,3 +162,38 @@ def test_packed_chain_scans_match_vmapped():
         finally:
             del os.environ["MICRO_AES_CHAIN_BITSLICE"]
     assert runs["0"] == runs["1"]
+
+
+def test_chain_kernel_interpret_matches_scan():
+    """The VMEM-resident Pallas chain kernel (interpret mode off-TPU)
+    is bit-exact vs the lane-packed scan twins for CBC/CFB/OFB —
+    per-lane keys, nb spanning multiple kernel segments."""
+    import jax.numpy as jnp
+
+    from micro_aes_tpu.core.bitslice import key_planes_packed
+    from micro_aes_tpu.modes._scan import (
+        cbc_encrypt_scan_packed,
+        cfb_encrypt_scan_packed,
+        ofb_keystream_scan_packed,
+    )
+    from micro_aes_tpu.modes.bulk import stack_round_keys
+    from micro_aes_tpu.ops.pallas_chain import CHAIN_SEG, chain_packed_fused
+
+    rng = np.random.default_rng(31)
+    b, nb = 32, CHAIN_SEG + 3  # spans two kernel segments
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+            for _ in range(b)]
+    kpw = jnp.asarray(key_planes_packed(stack_round_keys(keys)))
+    ivs = jnp.asarray(rng.integers(0, 256, (b, 16), dtype=np.uint8))
+    blocks = jnp.asarray(rng.integers(0, 256, (b, nb, 16), dtype=np.uint8))
+
+    for kind, scan in (("cbc", cbc_encrypt_scan_packed),
+                       ("cfb", cfb_encrypt_scan_packed),
+                       ("ofb", None)):
+        got = np.asarray(chain_packed_fused(kind, kpw, ivs, blocks))
+        if kind == "ofb":
+            want = np.asarray(ofb_keystream_scan_packed(
+                kpw, ivs, jnp.zeros(nb, jnp.uint8)))
+        else:
+            want = np.asarray(scan(kpw, ivs, blocks))
+        assert np.array_equal(got, want), kind
