@@ -453,12 +453,13 @@ def key_planes_packed(rks_stack: np.ndarray) -> np.ndarray:
     key_planes, for engines whose 32 word lanes hold DIFFERENT messages'
     state (the batched chain scans); B must be a multiple of 32."""
     rks_stack = np.asarray(rks_stack, np.uint8)
-    b, nr = rks_stack.shape[0], rks_stack.shape[1]
+    b = rks_stack.shape[0]
     assert b % 32 == 0
-    bits = (rks_stack[:, :, :, None] >> np.arange(8)) & 1  # [B,R+1,16,8]
-    lanes = bits.transpose(1, 3, 2, 0).reshape(nr, 8, 16, b // 32, 32)
-    return (lanes.astype(np.uint64)
-            << np.arange(32, dtype=np.uint64)).sum(-1).astype(np.uint32)
+    bits = np.unpackbits(rks_stack[:, :, :, None], axis=-1,
+                         bitorder="little")  # [B, R+1, 16, 8]
+    lanes = bits.transpose(1, 3, 2, 0)  # [R+1, 8, 16, B]
+    packed = np.packbits(lanes, axis=-1, bitorder="little")
+    return np.ascontiguousarray(packed).view(np.uint32)
 
 
 def encrypt_planes_multikey(kpw: jax.Array, planes: jax.Array) -> jax.Array:

@@ -17,7 +17,7 @@ import numpy as np
 from ..core.cipher import encrypt_blocks, decrypt_blocks
 from ..core.keyschedule import expand_key
 from ..ops.counter import counter_blocks
-from ..ops.mac import cbcmac_fold_batch, ghash_fold_batch
+from ..ops.mac import cbcmac_fold_batch_auto, ghash_fold_batch
 from ..utils.bytesio import BLOCK
 from .common import to_u8
 
@@ -269,7 +269,7 @@ def cmac_batch(keys: list[bytes], msgs: list[bytes]) -> list[bytes]:
             last ^= k1[i]
         blocks[i, nb] = last
         nv[i] = nb + 1
-    out = cbcmac_fold_batch(rks, jnp.zeros((B, BLOCK), jnp.uint8),
+    out = cbcmac_fold_batch_auto(rks, jnp.zeros((B, BLOCK), jnp.uint8),
                             jnp.asarray(blocks), jnp.asarray(nv))
     return [bytes(t) for t in np.asarray(out)]
 
@@ -348,7 +348,7 @@ def _omac_batch(rks, t: int, datas: list[np.ndarray]) -> np.ndarray:
             last ^= k1[i]
         blocks[i, nb] = last
         nv[i] = nb + 1
-    return np.asarray(cbcmac_fold_batch(
+    return np.asarray(cbcmac_fold_batch_auto(
         jnp.asarray(np.asarray(rks)), jnp.asarray(inits),
         jnp.asarray(blocks), jnp.asarray(nv)))
 
@@ -479,7 +479,7 @@ def _ccm_tags_batch(rks, iv0s, aads, pts, tag_len: int) -> np.ndarray:
     for i, b in enumerate(blists):
         blocks[i, : b.shape[0]] = b
         nv[i] = b.shape[0]
-    macs = np.asarray(cbcmac_fold_batch(rks, jnp.asarray(inits),
+    macs = np.asarray(cbcmac_fold_batch_auto(rks, jnp.asarray(inits),
                                         jnp.asarray(blocks), jnp.asarray(nv)))
     return _enc1_batch(rks, iv0s) ^ macs
 
@@ -580,7 +580,7 @@ def _cmac_batch(rks, datas: list[np.ndarray]) -> np.ndarray:
             last ^= k1[i]
         blocks[i, nb] = last
         nv[i] = nb + 1
-    return np.asarray(cbcmac_fold_batch(
+    return np.asarray(cbcmac_fold_batch_auto(
         rks, jnp.zeros((B, BLOCK), jnp.uint8),
         jnp.asarray(blocks), jnp.asarray(nv)))
 

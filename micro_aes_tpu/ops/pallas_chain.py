@@ -144,6 +144,80 @@ def chain_fused(kind: str, kpw, carry0, x):
     return out.reshape(nb, 8, 16, w), c2.reshape(8, 16, w)
 
 
+def _cbcmac_kernel(rounds: int, nsteps: int, kpw_ref, c_ref, x_ref,
+                   m_ref, co_ref):
+    """Masked CBC-MAC fold (xMac with mix = cipher, micro_aes.c:551-571):
+    a CBC chain that keeps only the final carry; steps at or beyond a
+    lane's nvalid keep its accumulator (mask bit j of m_ref[i, w] =
+    step i valid for the message in lane j of word w)."""
+    def body(i, carry):
+        x = x_ref[pl.ds(i * 128, 128), :]
+        m2 = _cipher_lanekeys(
+            rounds, kpw_ref,
+            [carry[b] ^ x[b * 16:(b + 1) * 16, :] for b in range(8)])
+        mask = m_ref[pl.ds(i, 1), :]  # [1, TILE], broadcasts over rows
+        return tuple(carry[b] ^ (mask & (m2[b] ^ carry[b]))
+                     for b in range(8))
+
+    carry0 = tuple(c_ref[b * 16:(b + 1) * 16, :] for b in range(8))
+    carry = jax.lax.fori_loop(0, nsteps, body, carry0)
+    co_ref[:] = jnp.concatenate(list(carry), axis=0)
+
+
+def _cbcmac_seg(rounds: int, nsteps: int, tile: int, kpw2, c2, x2, m2):
+    w = x2.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_cbcmac_kernel, rounds, nsteps),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((128, w), jnp.uint32),
+        grid=(w // tile,),
+        in_specs=[
+            pl.BlockSpec((kpw2.shape[0], tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsteps * 128, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsteps, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(kpw2, c2, x2, m2)
+
+
+@jax.jit
+def cbcmac_packed_fused(kpw, init, blocks, nvalid):
+    """Lane-packed masked CBC-MAC over B independent messages, the
+    VMEM-resident Pallas form of ops/mac.cbcmac_fold_batch:
+    kpw uint32[R+1,8,16,W] (key_planes_packed), init uint8[B,16],
+    blocks uint8[B,nb,16], nvalid int32[B]; B % 32 == 0.
+    Returns uint8[B,16]."""
+    from ..core.bitslice import pack_planes, unpack_planes
+
+    b, nb = blocks.shape[0], blocks.shape[1]
+    w = b // 32
+    rounds = kpw.shape[0] - 1
+    tile = _tile_for(w)
+    kpw2 = kpw.reshape(-1, w)
+    c2 = pack_planes(init).reshape(128, w)
+    x2 = jax.vmap(pack_planes, in_axes=1)(blocks).reshape(nb * 128, w)
+    lanes = nvalid.astype(jnp.int32).reshape(w, 32)
+    steps = jnp.arange(nb, dtype=jnp.int32)
+    bits = (steps[:, None, None] < lanes[None, :, :]).astype(jnp.uint32)
+    masks = jnp.sum(bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :],
+                    axis=-1, dtype=jnp.uint32)  # [nb, W]
+    i = 0
+    while i < nb:
+        nsteps = min(CHAIN_SEG, nb - i)
+        c2 = _cbcmac_seg(rounds, nsteps, tile, kpw2, c2,
+                         jax.lax.slice(x2, (i * 128, 0),
+                                       ((i + nsteps) * 128, w)),
+                         jax.lax.slice(masks, (i, 0), (i + nsteps, w)))
+        i += nsteps
+    return unpack_planes(c2.reshape(8, 16, w), b)
+
+
 @functools.partial(jax.jit, static_argnames=("kind",))
 def chain_packed_fused(kind: str, kpw, ivs, blocks):
     """uint8-level wrapper matching the modes/_scan.*_scan_packed

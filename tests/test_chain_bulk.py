@@ -197,3 +197,38 @@ def test_chain_kernel_interpret_matches_scan():
         else:
             want = np.asarray(scan(kpw, ivs, blocks))
         assert np.array_equal(got, want), kind
+
+
+def test_cbcmac_kernel_interpret_matches_fold():
+    """The lane-packed masked CBC-MAC kernel (the TPU path behind every
+    batched CMAC/CCM/EAX/SIV tag fold) is bit-exact vs the vmapped scan
+    fold — per-lane keys, ragged nvalid including zero, nb spanning
+    kernel segments."""
+    import jax.numpy as jnp
+
+    from micro_aes_tpu.core.bitslice import key_planes_packed
+    from micro_aes_tpu.modes.bulk import stack_round_keys
+    from micro_aes_tpu.ops.mac import cbcmac_fold_batch
+    from micro_aes_tpu.ops.pallas_chain import (
+        CHAIN_SEG,
+        cbcmac_packed_fused,
+    )
+
+    rng = np.random.default_rng(41)
+    b, nb = 32, CHAIN_SEG + 2
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+            for _ in range(b)]
+    rks = stack_round_keys(keys)
+    kpw = jnp.asarray(key_planes_packed(rks))
+    init = rng.integers(0, 256, (b, 16), dtype=np.uint8)
+    blocks = rng.integers(0, 256, (b, nb, 16), dtype=np.uint8)
+    nvalid = rng.integers(0, nb + 1, b, dtype=np.int32)
+    nvalid[0], nvalid[1] = 0, nb  # edge lanes
+
+    got = np.asarray(cbcmac_packed_fused(kpw, jnp.asarray(init),
+                                         jnp.asarray(blocks),
+                                         jnp.asarray(nvalid)))
+    want = np.asarray(cbcmac_fold_batch(jnp.asarray(rks), jnp.asarray(init),
+                                        jnp.asarray(blocks),
+                                        jnp.asarray(nvalid)))
+    assert np.array_equal(got, want)
