@@ -25,8 +25,13 @@ _enc_vmap = jax.jit(jax.vmap(encrypt_blocks))
 _dec_vmap = jax.jit(jax.vmap(decrypt_blocks))
 
 
+@functools.lru_cache(maxsize=65536)
+def _expand_cached(key: bytes) -> np.ndarray:
+    return expand_key(key)
+
+
 def stack_round_keys(keys: list[bytes]) -> np.ndarray:
-    return np.stack([expand_key(k) for k in keys])
+    return np.stack([_expand_cached(bytes(k)) for k in keys])
 
 
 def _regroup_mixed_keys(nlists: int):
@@ -107,6 +112,35 @@ def cipher_blocks_multikey(keys: list, blocks, decrypt: bool = False
         jnp.zeros((b * wm, 128), jnp.uint32), b, decrypt=decrypt)
     o = np.asarray(out).reshape(b, wm * 128)[:, : nb * 4]
     return np.ascontiguousarray(o).view(np.uint8).reshape(b, nb, BLOCK)
+
+
+def cipher_blocks_multikey_dev(keys: list, blocks, decrypt: bool = False):
+    """Device-resident twin of cipher_blocks_multikey: jnp uint8[B,nb,16]
+    in -> jnp uint8[B,nb,16] out with the pad/relayout done by bitcast
+    and jnp.pad ON DEVICE.  The batch engines are dominated by
+    device<->host transfers between stages (the remote tunnel makes
+    every hop ~25 ms + bandwidth), so intermediate data must never
+    leave the device."""
+    b, nb = blocks.shape[0], blocks.shape[1]
+    keys = [bytes(k) for k in keys]
+    if (jax.default_backend() != "tpu" or nb < 32 or b * nb < 2048
+            or len({len(k) for k in keys}) > 1):
+        return jnp.asarray(
+            cipher_blocks_multikey(keys, np.asarray(blocks), decrypt))
+    from ..ops.pallas_multikey import ctrw_fused_multikey
+    from ..ops.pallas_seal import SEAL_TILE_W
+
+    wm = -(-nb // 32)
+    wm += (-wm) % (SEAL_TILE_W if wm > SEAL_TILE_W else 8)
+    u32 = jax.lax.bitcast_convert_type(
+        jnp.asarray(blocks).reshape(b, nb * 4, 4), jnp.uint32)
+    buf = jnp.pad(u32, ((0, 0), (0, wm * 128 - nb * 4)))
+    kp_stack = jnp.asarray(np.concatenate([_kp_cached(k) for k in keys]))
+    out = ctrw_fused_multikey(kp_stack, buf.reshape(b * wm, 128),
+                              jnp.zeros((b * wm, 128), jnp.uint32), b,
+                              decrypt=decrypt)
+    o = out.reshape(b, wm * 128)[:, : nb * 4]
+    return jax.lax.bitcast_convert_type(o, jnp.uint8).reshape(b, nb, BLOCK)
 
 
 def _pad_blocks_batch(datas: list[np.ndarray], nblocks: int) -> np.ndarray:
@@ -311,34 +345,37 @@ def _enc1_batch(rks, blocks: np.ndarray) -> np.ndarray:
     return np.asarray(_enc_vmap(rks, jnp.asarray(blocks[:, None, :])))[:, 0]
 
 
-def _omac_batch(rks, t: int, datas: list[np.ndarray]) -> np.ndarray:
-    """Batched EAX OMAC (micro_aes.c:1531-1549): per message,
-    CMAC(data, init=E(tweak block)); empty data short-circuits to
-    E(K1 ^ tweak)."""
+def _eax_subkeys(rks, B: int):
+    """L = E_K(0) per key (one small dispatch), K1/K2 host-side."""
     from ..ops.mac import double_be_np
 
-    B = len(datas)
     L = _enc1_batch(rks, np.zeros((B, BLOCK), np.uint8))
     k1 = double_be_np(L)
-    k2 = double_be_np(k1)
-    inits = np.zeros((B, BLOCK), np.uint8)
-    for i, d in enumerate(datas):
-        if not len(d):
-            inits[i] = k1[i]
-    inits[:, BLOCK - 1] ^= t
-    inits = _enc1_batch(rks, inits)
+    return k1, double_be_np(k1)
 
+
+def _omac_small_dev(rks, k1, k2, t: int, datas: list[np.ndarray]):
+    """Batched EAX OMAC (micro_aes.c:1531-1549) over B SMALL host byte
+    strings (nonces / headers): the tweak block [0..0,t] is prepended to
+    the fold (fold(0, [T, ...]) == fold(E(T), ...)), so no extra cipher
+    dispatch exists; empty data folds the single block T ^ K1.  Returns
+    the macs ON DEVICE."""
+    B = len(datas)
     m = max((max((len(d) - 1) // BLOCK + 1, 1) for d in datas if len(d)),
-            default=1)
-    blocks = np.zeros((B, m, BLOCK), np.uint8)
+            default=0)
+    blocks = np.zeros((B, 1 + m, BLOCK), np.uint8)
     nv = np.zeros(B, np.int32)
     for i, d in enumerate(datas):
+        blocks[i, 0, BLOCK - 1] = t
         n = len(d)
         if not n:
+            blocks[i, 0] ^= k1[i]
+            nv[i] = 1
             continue
         s = (n - 1) % BLOCK + 1
         nb = (n - s) // BLOCK
-        blocks[i, :nb] = d[: n - s].reshape(nb, BLOCK)
+        if nb:
+            blocks[i, 1: 1 + nb] = d[: n - s].reshape(nb, BLOCK)
         last = np.zeros(BLOCK, np.uint8)
         last[:s] = d[n - s:]
         if s < BLOCK:
@@ -346,42 +383,91 @@ def _omac_batch(rks, t: int, datas: list[np.ndarray]) -> np.ndarray:
             last ^= k2[i]
         else:
             last ^= k1[i]
-        blocks[i, nb] = last
-        nv[i] = nb + 1
-    return np.asarray(cbcmac_fold_batch_auto(
-        jnp.asarray(np.asarray(rks)), jnp.asarray(inits),
-        jnp.asarray(blocks), jnp.asarray(nv)))
+        blocks[i, 1 + nb] = last
+        nv[i] = nb + 2
+    return cbcmac_fold_batch_auto(rks, jnp.zeros((B, BLOCK), jnp.uint8),
+                                  jnp.asarray(blocks), jnp.asarray(nv))
+
+
+def _omac_blocks_dev(rks, k1, k2, t: int, blocks_j, lens):
+    """OMAC(t) over B DEVICE-resident zero-masked payloads [B, nb, 16]
+    (the ciphertext side of EAX): the last-block 0x80 marker and K1/K2
+    tweak are data-INDEPENDENT, so they apply as a one-hot xor on
+    device; the tweak block rides a 1-block prefix fold.  The payload
+    never visits the host."""
+    B, nb = blocks_j.shape[0], blocks_j.shape[1]
+    tweak = np.zeros((B, 1, BLOCK), np.uint8)
+    tweak[:, 0, BLOCK - 1] = t
+    lastadd = np.zeros((B, BLOCK), np.uint8)
+    nv = np.zeros(B, np.int32)
+    for i, n in enumerate(lens):
+        if not n:
+            tweak[i, 0] ^= k1[i]
+            continue
+        s = (n - 1) % BLOCK + 1
+        la = np.zeros(BLOCK, np.uint8)
+        if s < BLOCK:
+            la[s] ^= 0x80
+            la ^= k2[i]
+        else:
+            la ^= k1[i]
+        lastadd[i] = la
+        nv[i] = (n - 1) // BLOCK + 1
+    acc = cbcmac_fold_batch_auto(rks, jnp.zeros((B, BLOCK), jnp.uint8),
+                                 jnp.asarray(tweak),
+                                 jnp.ones(B, jnp.int32))
+    nvj = jnp.asarray(nv)
+    onehot = (jnp.arange(nb)[None, :] == (nvj - 1)[:, None]).astype(jnp.uint8)
+    mac_in = blocks_j ^ (onehot[:, :, None] * jnp.asarray(lastadd)[:, None, :])
+    return cbcmac_fold_batch_auto(rks, acc, mac_in, nvj)
+
+
+def _byte_mask(lens, nb: int):
+    """bool[B, nb, 16]: True where the byte index < the message length."""
+    return (jnp.arange(nb * BLOCK)[None, :]
+            < jnp.asarray(lens)[:, None]).reshape(-1, nb, BLOCK)
 
 
 @_regroup_mixed_keys(3)
 def eax_encrypt_batch(keys, nonces, aads, pts, tag_len: int = 16) -> list[bytes]:
-    """AES-EAX over B independent messages, batched device folds."""
+    """AES-EAX over B independent messages, device-resident: the padded
+    plaintext uploads once, the ciphertext OMAC folds the device-side
+    xor result directly, and only the ciphertext and tags come back."""
     B = len(keys)
     rks = jnp.asarray(stack_round_keys(keys))
     nonces = [to_u8(x) for x in nonces]
     aads = [to_u8(x) for x in aads]
     pts = [to_u8(x) for x in pts]
+    lens = [len(p) for p in pts]
+    k1, k2 = _eax_subkeys(rks, B)
 
-    n_mac = _omac_batch(rks, 0, nonces)
-    nks = max(((len(p) + BLOCK - 1) // BLOCK for p in pts), default=0)
+    n_mac = _omac_small_dev(rks, k1, k2, 0, nonces)
+    h_mac = _omac_small_dev(rks, k1, k2, 1, aads)
+    nks = max(((n + BLOCK - 1) // BLOCK for n in lens), default=0)
     if nks:
-        ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 0, "be"))(
-            jnp.asarray(n_mac))
-        ks = np.asarray(_enc_vmap(rks, ctrs))
-    cts = [bytes(p ^ ks[i].reshape(-1)[: len(p)]) if len(p) else b""
-           for i, p in enumerate(pts)]
-
-    h_mac = _omac_batch(rks, 1, aads)
-    c_mac = _omac_batch(rks, 2, [np.frombuffer(c, np.uint8) for c in cts])
-    tags = n_mac ^ h_mac ^ c_mac
-    return [cts[i] + bytes(tags[i][:tag_len]) for i in range(B)]
+        ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 0, "be"))(n_mac)
+        ks = cipher_blocks_multikey_dev(keys, ctrs)
+        ptj = jnp.asarray(_pad_blocks_batch(pts, nks))
+        ct_pad = ptj ^ ks
+        ct_mac = jnp.where(_byte_mask(lens, nks), ct_pad, 0)
+    else:
+        ct_pad = None
+        ct_mac = jnp.zeros((B, 1, BLOCK), jnp.uint8)
+    c_mac = _omac_blocks_dev(rks, k1, k2, 2, ct_mac, lens)
+    tags = np.asarray(n_mac ^ h_mac ^ c_mac)
+    ct_np = np.asarray(ct_pad) if nks else None
+    return [
+        (bytes(ct_np[i].reshape(-1)[: n]) if n else b"")
+        + bytes(tags[i][:tag_len])
+        for i, n in enumerate(lens)
+    ]
 
 
 @_regroup_mixed_keys(3)
 def eax_decrypt_batch(keys, nonces, aads, ct_tags,
                       tag_len: int = 16) -> list[bytes | None]:
     """Batched EAX open (authenticate-then-decrypt, constant-time
-    compares); failed messages come back as None."""
+    compares), device-resident; failed messages come back as None."""
     from ..utils.bytesio import verify_tag
 
     B = len(keys)
@@ -391,40 +477,46 @@ def eax_decrypt_batch(keys, nonces, aads, ct_tags,
     data = [to_u8(x) for x in ct_tags]
     cts = [d[: len(d) - tag_len] for d in data]
     tags = [bytes(d[len(d) - tag_len:]) for d in data]
+    lens = [len(c) for c in cts]
+    k1, k2 = _eax_subkeys(rks, B)
 
-    n_mac = _omac_batch(rks, 0, nonces)
-    h_mac = _omac_batch(rks, 1, aads)
-    c_mac = _omac_batch(rks, 2, cts)
-    expects = n_mac ^ h_mac ^ c_mac
+    n_mac = _omac_small_dev(rks, k1, k2, 0, nonces)
+    h_mac = _omac_small_dev(rks, k1, k2, 1, aads)
+    nks = max(((n + BLOCK - 1) // BLOCK for n in lens), default=0)
+    ctj = jnp.asarray(_pad_blocks_batch(cts, max(nks, 1)))
+    c_mac = _omac_blocks_dev(rks, k1, k2, 2, ctj, lens)
+    expects = np.asarray(n_mac ^ h_mac ^ c_mac)
 
-    nks = max(((len(c) + BLOCK - 1) // BLOCK for c in cts), default=0)
     if nks:
-        ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 0, "be"))(
-            jnp.asarray(n_mac))
-        ks = np.asarray(_enc_vmap(rks, ctrs))
+        ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 0, "be"))(n_mac)
+        ks = cipher_blocks_multikey_dev(keys, ctrs)
+        pt_np = np.asarray(ctj[:, :nks] ^ ks)
     out: list[bytes | None] = []
     for i, c in enumerate(cts):
         if not verify_tag(expects[i][:tag_len], tags[i]):
             out.append(None)
             continue
-        out.append(bytes(c ^ ks[i].reshape(-1)[: len(c)]) if len(c) else b"")
+        out.append(bytes(pt_np[i].reshape(-1)[: len(c)]) if len(c) else b"")
     return out
 
 
-def _ccm_mac_blocks(iv0: np.ndarray, aad: np.ndarray, pt: np.ndarray,
-                    tag_len: int):
-    """Per-message CBC-MAC input (B0 then A-prefix then payload), exactly
-    mirroring CCMtag (micro_aes.c:1222-1256).  Returns (b0, blocks)."""
+def _ccm_b0_prefix(iv0: np.ndarray, aad: np.ndarray, ptlen: int,
+                   tag_len: int) -> np.ndarray:
+    """Per-message CBC-MAC PREFIX — B0 then the A-segment — exactly
+    mirroring CCMtag (micro_aes.c:1222-1256); the payload blocks follow
+    at a fresh block boundary and are folded from the shared device
+    buffer.  (No-AAD: the reference folds one zero A-block from the RAW
+    B0 — i.e. exactly E(B0), which the prepended-B0 fold already is.)"""
     m = iv0.copy()
     m[0] |= (tag_len - 2) << 2
-    v, i = len(pt), 15
+    v, i = ptlen, 15
     while True:
         m[i] ^= v & 0xFF
         v >>= 8
         i -= 1
         if not v:
             break
-    segments = []
+    segments = [m[None, :]]
     alen = len(aad)
     if alen:
         m[0] |= 0x40
@@ -450,44 +542,37 @@ def _ccm_mac_blocks(iv0: np.ndarray, aad: np.ndarray, pt: np.ndarray,
             padded = np.zeros((nb, BLOCK), np.uint8)
             padded.reshape(-1)[: len(rest)] = rest
             segments.append(padded)
-    # (no-AAD: the reference folds one zero A-block from the RAW B0 —
-    # i.e. exactly E(B0), which the batched init already is)
-    if len(pt):
-        nb = (len(pt) + BLOCK - 1) // BLOCK
-        padded = np.zeros((nb, BLOCK), np.uint8)
-        padded.reshape(-1)[: len(pt)] = pt
-        segments.append(padded)
-    if not segments:
-        return m, np.zeros((0, BLOCK), np.uint8)
-    return m, np.concatenate(segments, axis=0)
+    return np.concatenate(segments, axis=0)
 
 
-def _ccm_tags_batch(rks, iv0s, aads, pts, tag_len: int) -> np.ndarray:
-    from .ccm import _iv0  # noqa: F401  (doc anchor)
-
-    B = len(pts)
-    b0s = np.zeros((B, BLOCK), np.uint8)
-    blists = []
-    for i in range(B):
-        b0, blocks = _ccm_mac_blocks(iv0s[i], aads[i], pts[i], tag_len)
-        b0s[i] = b0
-        blists.append(blocks)
-    inits = _enc1_batch(rks, b0s)
-    m = max(b.shape[0] for b in blists)
-    blocks = np.zeros((B, m, BLOCK), np.uint8)
-    nv = np.zeros(B, np.int32)
-    for i, b in enumerate(blists):
-        blocks[i, : b.shape[0]] = b
-        nv[i] = b.shape[0]
-    macs = np.asarray(cbcmac_fold_batch_auto(rks, jnp.asarray(inits),
-                                        jnp.asarray(blocks), jnp.asarray(nv)))
-    return _enc1_batch(rks, iv0s) ^ macs
+def _ccm_tags_dev(rks, iv0s, aads, ptlens, pt_blocks_j, nvp, ek0,
+                  tag_len: int):
+    """Device-resident CCM tag math: fold the (tiny, host-assembled)
+    B0+AAD prefixes with init 0 (fold(0, [B0, ...]) == fold(E(B0), ...)),
+    continue the fold over the shared payload device buffer, and xor
+    E(A0) — which is counter block 0 of the keystream pass, so no extra
+    single-block cipher dispatches exist anywhere on this path."""
+    B = len(ptlens)
+    prefixes = [_ccm_b0_prefix(iv0s[i], aads[i], ptlens[i], tag_len)
+                for i in range(B)]
+    mp = max(p.shape[0] for p in prefixes)
+    pb = np.zeros((B, mp, BLOCK), np.uint8)
+    nv1 = np.zeros(B, np.int32)
+    for i, p in enumerate(prefixes):
+        pb[i, : p.shape[0]] = p
+        nv1[i] = p.shape[0]
+    acc = cbcmac_fold_batch_auto(rks, jnp.zeros((B, BLOCK), jnp.uint8),
+                                 jnp.asarray(pb), jnp.asarray(nv1))
+    macs = cbcmac_fold_batch_auto(rks, acc, pt_blocks_j, nvp)
+    return ek0 ^ macs
 
 
 @_regroup_mixed_keys(3)
 def ccm_encrypt_batch(keys, nonces, aads, pts, nonce_len: int | None = None,
                       tag_len: int = 16) -> list[bytes]:
-    """AES-CCM over B independent messages, batched device folds.
+    """AES-CCM over B independent messages, device-resident: the padded
+    payload is uploaded ONCE and reused as both the CBC-MAC fold input
+    and the CTR xor operand; only the ciphertext and tags come back.
     nonce_len=None uses each nonce's own length (the VNT corpora mix
     7..13-byte nonces in one file)."""
     from .ccm import _iv0
@@ -500,15 +585,22 @@ def ccm_encrypt_batch(keys, nonces, aads, pts, nonce_len: int | None = None,
         _iv0(to_u8(n)[:nonce_len] if nonce_len else to_u8(n))
         for n in nonces])
 
-    tags = _ccm_tags_batch(rks, iv0s, aads, pts, tag_len)
     nks = max(((len(p) + BLOCK - 1) // BLOCK for p in pts), default=0)
-    if nks:
-        ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 1, "be"))(
-            jnp.asarray(iv0s))
-        ks = np.asarray(_enc_vmap(rks, ctrs))
-    cts = [bytes(p ^ ks[i].reshape(-1)[: len(p)]) if len(p) else b""
-           for i, p in enumerate(pts)]
-    return [cts[i] + bytes(tags[i][:tag_len]) for i in range(B)]
+    ptj = jnp.asarray(_pad_blocks_batch(pts, max(nks, 1)))
+    nvp = jnp.asarray(np.array([(len(p) + BLOCK - 1) // BLOCK
+                                for p in pts], np.int32))
+    # keystream blocks 0..nks: block 0 IS E(A0) (the tag whitener)
+    ctrs = jax.vmap(lambda b: counter_blocks(b, nks + 1, 0, "be"))(
+        jnp.asarray(iv0s))
+    ks_all = cipher_blocks_multikey_dev(keys, ctrs)
+    tags = np.asarray(_ccm_tags_dev(rks, iv0s, aads, [len(p) for p in pts],
+                                    ptj, nvp, ks_all[:, 0], tag_len))
+    ct_pad = np.asarray(ptj[:, :nks] ^ ks_all[:, 1:]) if nks else None
+    return [
+        (bytes(ct_pad[i].reshape(-1)[: len(p)]) if len(p) else b"")
+        + bytes(tags[i][:tag_len])
+        for i, p in enumerate(pts)
+    ]
 
 
 @_regroup_mixed_keys(3)
@@ -516,7 +608,9 @@ def ccm_decrypt_batch(keys, nonces, aads, ct_tags,
                       nonce_len: int | None = None,
                       tag_len: int = 16) -> list[bytes | None]:
     """Batched CCM open (decrypt-then-verify per the reference ordering,
-    micro_aes.c:1304-1312, constant-time compares)."""
+    micro_aes.c:1304-1312, constant-time compares), device-resident:
+    the recovered plaintext feeds the verification fold without leaving
+    the device (zero-masked past each message's length)."""
     from ..utils.bytesio import verify_tag
     from .ccm import _iv0
 
@@ -531,19 +625,30 @@ def ccm_decrypt_batch(keys, nonces, aads, ct_tags,
         for n in nonces])
 
     nks = max(((len(c) + BLOCK - 1) // BLOCK for c in cts), default=0)
+    lens = np.array([len(c) for c in cts], np.int32)
+    ctj = jnp.asarray(_pad_blocks_batch(cts, max(nks, 1)))
+    nvp = jnp.asarray((lens + BLOCK - 1) // BLOCK)
+    ctrs = jax.vmap(lambda b: counter_blocks(b, nks + 1, 0, "be"))(
+        jnp.asarray(iv0s))
+    ks_all = cipher_blocks_multikey_dev(keys, ctrs)
     if nks:
-        ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 1, "be"))(
-            jnp.asarray(iv0s))
-        ks = np.asarray(_enc_vmap(rks, ctrs))
-    pts = [(c ^ ks[i].reshape(-1)[: len(c)]) if len(c)
-           else np.zeros(0, np.uint8) for i, c in enumerate(cts)]
-    expects = _ccm_tags_batch(rks, iv0s, aads, pts, tag_len)
+        pt_pad = ctj[:, :nks] ^ ks_all[:, 1:]
+        # MAC input is the ZERO-PADDED plaintext: mask past each length
+        bytemask = (jnp.arange(nks * BLOCK)[None, :]
+                    < jnp.asarray(lens)[:, None])
+        pt_mac = jnp.where(bytemask.reshape(-1, nks, BLOCK), pt_pad, 0)
+    else:
+        pt_pad = None
+        pt_mac = jnp.zeros((B, 1, BLOCK), jnp.uint8)
+    expects = np.asarray(_ccm_tags_dev(rks, iv0s, aads, [int(v) for v in lens],
+                                       pt_mac, nvp, ks_all[:, 0], tag_len))
+    pt_np = np.asarray(pt_pad) if nks else None
     out: list[bytes | None] = []
-    for i in range(B):
+    for i, c in enumerate(cts):
         if not verify_tag(expects[i][:tag_len], tags[i]):
             out.append(None)
             continue
-        out.append(bytes(pts[i]))
+        out.append(bytes(pt_np[i].reshape(-1)[: len(c)]) if len(c) else b"")
     return out
 
 

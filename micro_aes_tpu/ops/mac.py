@@ -106,26 +106,25 @@ def cbcmac_fold_batch_auto(rks, init, blocks, nvalid):
     lookup per byte).  rks uint8[B,R+1,16] (one key SIZE per call — the
     bulk engines already regroup mixed sizes)."""
     if jax.default_backend() != "tpu" or blocks.shape[0] == 0:
-        return cbcmac_fold_batch(rks, init, blocks, nvalid)
+        return cbcmac_fold_batch(jnp.asarray(rks), jnp.asarray(init),
+                                 jnp.asarray(blocks), jnp.asarray(nvalid))
     from ..core.bitslice import key_planes_packed
     from .pallas_chain import cbcmac_packed_fused
 
     b = blocks.shape[0]
     pad = (-b) % 32
-    rks_np = np.asarray(rks, np.uint8)
-    init_np = np.asarray(init, np.uint8)
-    blocks_np = np.asarray(blocks, np.uint8)
-    nv_np = np.asarray(nvalid, np.int32)
+    rks_np = np.asarray(rks, np.uint8)  # keys are host data; tiny
     if pad:
         rks_np = np.concatenate([rks_np, np.repeat(rks_np[-1:], pad, 0)])
-        init_np = np.concatenate([init_np, np.zeros((pad, 16), np.uint8)])
-        blocks_np = np.concatenate(
-            [blocks_np, np.zeros((pad,) + blocks_np.shape[1:], np.uint8)])
-        nv_np = np.concatenate([nv_np, np.zeros(pad, np.int32)])
     kpw = jnp.asarray(key_planes_packed(rks_np))
-    out = cbcmac_packed_fused(kpw, jnp.asarray(init_np),
-                              jnp.asarray(blocks_np), jnp.asarray(nv_np))
-    return jnp.asarray(np.asarray(out)[:b])
+    init_j = jnp.asarray(init)
+    blocks_j = jnp.asarray(blocks)
+    nv_j = jnp.asarray(nvalid, jnp.int32)
+    if pad:  # pad ON DEVICE — blocks may already live there
+        init_j = jnp.pad(init_j, ((0, pad), (0, 0)))
+        blocks_j = jnp.pad(blocks_j, ((0, pad), (0, 0), (0, 0)))
+        nv_j = jnp.pad(nv_j, (0, pad))
+    return cbcmac_packed_fused(kpw, init_j, blocks_j, nv_j)[:b]
 
 
 # ---------------------------------------------------------------------------
