@@ -236,6 +236,46 @@ def bench_modes(selected):
         _emit("FF1 encrypt (10k tokens, digits len16)",
               ntok / sorted(ts)[1], unit="tokens/s")
 
+    if "ccm-batch" in selected or "eax-batch" in selected:
+        # END-TO-END wall time of the device-resident batch engines
+        # (host glue + one upload + folds + keystream + one download);
+        # not a marginal rate — the tunnel's fixed transfer cost is part
+        # of what these engines exist to amortize.
+        from micro_aes_tpu.modes import bulk as _bulk
+
+        rng = np.random.default_rng(17)
+        bq = 2048
+        bkeys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+                 for _ in range(bq)]
+        bpts = [rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+                for _ in range(bq)]
+        if "ccm-batch" in selected:
+            bnon = [rng.integers(0, 256, 11, dtype=np.uint8).tobytes()
+                    for _ in range(bq)]
+            _bulk.ccm_encrypt_batch(bkeys, bnon, [b"hdr"] * bq, bpts)
+            ts = []
+            for k in range(3):
+                pv = [bytes(np.frombuffer(p, np.uint8) ^ np.uint8(k + 1))
+                      for p in bpts[:4]] + bpts[4:]
+                t0 = time.time()
+                _bulk.ccm_encrypt_batch(bkeys, bnon, [b"hdr"] * bq, pv)
+                ts.append(time.time() - t0)
+            _emit("AES-128-CCM batch seal, 2048 x 4 KiB (end-to-end)",
+                  bq * 4096 / sorted(ts)[1])
+        if "eax-batch" in selected:
+            bnon = [rng.integers(0, 256, 12, dtype=np.uint8).tobytes()
+                    for _ in range(bq)]
+            _bulk.eax_encrypt_batch(bkeys, bnon, [b"hdr"] * bq, bpts)
+            ts = []
+            for k in range(3):
+                pv = [bytes(np.frombuffer(p, np.uint8) ^ np.uint8(k + 1))
+                      for p in bpts[:4]] + bpts[4:]
+                t0 = time.time()
+                _bulk.eax_encrypt_batch(bkeys, bnon, [b"hdr"] * bq, pv)
+                ts.append(time.time() - t0)
+            _emit("AES-128-EAX batch seal, 2048 x 4 KiB (end-to-end)",
+                  bq * 4096 / sorted(ts)[1])
+
     if "cbc-chains" in selected:
         from micro_aes_tpu.core.bitslice import key_planes_packed
         from micro_aes_tpu.modes.bulk import stack_round_keys
@@ -340,7 +380,8 @@ def main(argv=None):
     parser.add_argument("--modes", nargs="*",
                         default=["gcm-seal", "gcm-open", "ctr", "ocb-seal",
                                  "ocb-open", "xts", "gcm-siv", "gcm-multikey",
-                                 "poly1305", "fpe", "cbc-chains", "cipher"])
+                                 "poly1305", "fpe", "cbc-chains", "ccm-batch",
+                                 "eax-batch", "cipher"])
     args = parser.parse_args(argv)
     run = bench_mesh if args.mesh else (lambda: bench_modes(set(args.modes)))
     if args.trace:

@@ -150,12 +150,6 @@ def _pad_blocks_batch(datas: list[np.ndarray], nblocks: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("nblocks",))
-def _ctr_keystream_batch(rks, bases, nblocks: int):
-    ctrs = jax.vmap(lambda b: counter_blocks(b, nblocks, 1, "be"))(bases)
-    return jax.vmap(encrypt_blocks)(rks, ctrs)
-
-
 def _batch_j0(rks, nonces: list[np.ndarray], h: np.ndarray) -> np.ndarray:
     """Per-message J0: 12-byte fast path on host, GHASH path batched."""
     B = len(nonces)
@@ -311,12 +305,13 @@ def cmac_batch(keys: list[bytes], msgs: list[bytes]) -> list[bytes]:
 @_regroup_mixed_keys(2)
 def xts_batch(keys: list[bytes], tweaks: list[bytes], datas: list[bytes],
               encrypt: bool) -> list[bytes]:
-    """Batched XEX over B messages of identical whole-block length."""
+    """Batched XEX over B messages of identical whole-block length
+    (body through the multikey stream kernel on TPU)."""
     from ..ops.mac import double_le_np
 
     B = len(keys)
+    keys = [bytes(k) for k in keys]
     klen = len(keys[0]) // 2
-    rks1 = jnp.asarray(stack_round_keys([k[:klen] for k in keys]))
     rks2 = jnp.asarray(stack_round_keys([k[klen:] for k in keys]))
     n = len(datas[0]) // BLOCK
     t0 = np.asarray(
@@ -328,8 +323,9 @@ def xts_batch(keys: list[bytes], tweaks: list[bytes], datas: list[bytes],
         tw[:, i] = t
         t = double_le_np(t)
     x = np.stack([to_u8(d).reshape(n, BLOCK) for d in datas])
-    fn = _enc_vmap if encrypt else _dec_vmap
-    y = np.asarray(fn(rks1, jnp.asarray(x ^ tw))) ^ tw
+    y = np.asarray(cipher_blocks_multikey_dev(
+        [k[:klen] for k in keys], jnp.asarray(x ^ tw),
+        decrypt=not encrypt)) ^ tw
     return [bytes(y[i].reshape(-1)) for i in range(B)]
 
 
@@ -721,9 +717,9 @@ def _siv_split(keys) -> tuple[list[bytes], list[bytes]]:
             [k[len(k) // 2:] for k in keys])
 
 
-def _siv_keystreams(rks2, ivs: np.ndarray, lens: list[int]):
+def _siv_keystreams(k2s: list[bytes], ivs: np.ndarray, lens: list[int]):
     """SIV-convention CTR keystreams (bits 63/31 cleared, BE count —
-    micro_aes.c:931-934) for B messages."""
+    micro_aes.c:931-934) for B messages, through the multikey kernel."""
     bases = ivs.copy()
     bases[:, 8] &= 0x7F
     bases[:, 12] &= 0x7F
@@ -732,7 +728,7 @@ def _siv_keystreams(rks2, ivs: np.ndarray, lens: list[int]):
         return None
     ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 0, "be"))(
         jnp.asarray(bases))
-    return np.asarray(_enc_vmap(rks2, ctrs))
+    return np.asarray(cipher_blocks_multikey_dev(k2s, ctrs))
 
 
 @_regroup_mixed_keys(2)
@@ -742,11 +738,10 @@ def siv_encrypt_batch(keys, aads, pts) -> list[tuple[bytes, bytes]]:
     and (like the other batch engines) must share one key size per call."""
     k1s, k2s = _siv_split(keys)
     rks1 = jnp.asarray(stack_round_keys(k1s))
-    rks2 = jnp.asarray(stack_round_keys(k2s))
     aads = [to_u8(a) for a in aads]
     pts = [to_u8(p) for p in pts]
     ivs = _s2v_batch(rks1, aads, pts)
-    ks = _siv_keystreams(rks2, ivs, [len(p) for p in pts])
+    ks = _siv_keystreams(k2s, ivs, [len(p) for p in pts])
     return [(bytes(ivs[i]),
              bytes(p ^ ks[i].reshape(-1)[: len(p)]) if len(p) else b"")
             for i, p in enumerate(pts)]
@@ -760,11 +755,10 @@ def siv_decrypt_batch(keys, ivs, aads, cts) -> list[bytes | None]:
 
     k1s, k2s = _siv_split(keys)
     rks1 = jnp.asarray(stack_round_keys(k1s))
-    rks2 = jnp.asarray(stack_round_keys(k2s))
     aads = [to_u8(a) for a in aads]
     cts = [to_u8(c) for c in cts]
     iv_arr = np.stack([to_u8(iv)[:BLOCK] for iv in ivs])
-    ks = _siv_keystreams(rks2, iv_arr, [len(c) for c in cts])
+    ks = _siv_keystreams(k2s, iv_arr, [len(c) for c in cts])
     pts = [(c ^ ks[i].reshape(-1)[: len(c)]) if len(c)
            else np.zeros(0, np.uint8) for i, c in enumerate(cts)]
     expects = _s2v_batch(rks1, aads, pts)

@@ -1,0 +1,72 @@
+"""Batch-axis data parallelism for the multi-tenant engines.
+
+The single-message sharded GCM (parallel/sharded.py) splits the BLOCK
+axis of one message over `sp` and pays one XOR-psum per tag.  The
+engines here scale the other way (SURVEY §2.6 "block-index data
+parallelism"): B independent (key, message) pairs split over `dp` with
+ZERO collectives — each device runs the full fused engine on its slice
+of the batch.  This is the multi-tenant serving shape: throughput
+scales linearly with devices because nothing crosses ICI at all.
+
+Off-TPU the wrapped engines dispatch to their jnp twins, so the CPU
+test mesh executes the same code path a pod would
+(tests/test_parallel.py).  Multi-host: combine with
+parallel/multihost.host_local_batch so each host feeds its local slice.
+"""
+from __future__ import annotations
+
+import jax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def seal_batch_sharded_fn(mesh: Mesh, b: int, wm: int):
+    """Multi-key fused GCM (modes/seal_batch._seal_batch_core) over the
+    mesh's `dp` axis: every per-message input/output is sharded on its
+    batch(-derived) leading axis; no collectives exist in the program.
+    b must divide by dp.  Returns fn(kp_stack, j0w, front, mask, sel,
+    len_bits, ptw) -> (out stream, tags), argument contract identical
+    to the unsharded core."""
+    from ..modes.seal_batch import _seal_batch_core
+
+    dp = mesh.shape["dp"]
+    assert b % dp == 0, (b, dp)
+    local_b = b // dp
+
+    def local_fn(kp_stack, j0w, front, mask, sel, len_bits, ptw):
+        return _seal_batch_core(kp_stack, j0w, front, mask, sel,
+                                len_bits, ptw, local_b, wm)
+
+    spec = P("dp")
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec,) * 7,
+        out_specs=(spec, spec),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def chain_sharded_fn(mesh: Mesh, kind: str):
+    """Lane-packed serial-chain engine (CBC/CFB encrypt, OFB keystream)
+    over the mesh's `dp` axis: per-lane keys shard with their lanes
+    (kpw on its word axis, state on the batch axis), zero collectives.
+    The local batch (B/dp) must be a multiple of 32 — one word of
+    lanes per device at minimum."""
+    from ..modes._scan import (
+        cbc_encrypt_scan_packed,
+        cfb_encrypt_scan_packed,
+        ofb_keystream_scan_packed,
+    )
+
+    local = {"cbc": cbc_encrypt_scan_packed,
+             "cfb": cfb_encrypt_scan_packed,
+             "ofb": ofb_keystream_scan_packed}[kind]
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, None, "dp"), P("dp"),
+                  P("dp") if kind != "ofb" else P(None)),
+        out_specs=P("dp"),
+        check_rep=False,
+    )
+    return jax.jit(fn)

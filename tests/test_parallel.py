@@ -54,3 +54,74 @@ def test_fused_seal_matches_gcm():
     nonce = bytes(rng.integers(0, 256, 12, dtype=np.uint8))
     pt = bytes(rng.integers(0, 256, 16 * 1024, dtype=np.uint8))
     assert gcm_seal(key, nonce, pt) == gcm_encrypt(key, nonce, b"", pt)
+
+
+def test_seal_batch_sharded_matches_unsharded():
+    """Multi-key fused GCM over a dp mesh (zero collectives) == the
+    unsharded core, and == the per-message GCM oracle."""
+    import jax.numpy as jnp
+
+    from micro_aes_tpu.modes.gcm import gcm_encrypt
+    from micro_aes_tpu.modes.seal_batch import _prep, _seal_batch_core
+    from micro_aes_tpu.parallel.batch import seal_batch_sharded_fn
+    from micro_aes_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(61)
+    B = 8
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+            for _ in range(B)]
+    nonces = [rng.integers(0, 256, 12, dtype=np.uint8).tobytes()
+              for _ in range(B)]
+    aads = [b"hdr%d" % i for i in range(B)]
+    pts = [rng.integers(0, 256, 32 * (i + 1), dtype=np.uint8).tobytes()
+           for i in range(B)]
+    (b, wm, _, ns, front_np, kp_stack, j0w, front, mask, sel,
+     len_bits, ptw) = _prep(keys, nonces, aads, pts)
+
+    ref_out, ref_tags = _seal_batch_core(kp_stack, j0w, front, mask, sel,
+                                         len_bits, ptw, b, wm)
+    for dp in (2, 4, 8):
+        mesh = make_mesh(dp, 1)
+        fn = seal_batch_sharded_fn(mesh, b, wm)
+        out, tags = fn(kp_stack, j0w, front, mask, sel, len_bits, ptw)
+        assert np.array_equal(np.asarray(out), np.asarray(ref_out)), dp
+        assert np.array_equal(np.asarray(tags), np.asarray(ref_tags)), dp
+
+    # anchor one message against the conformance-validated path
+    out_np = np.asarray(ref_out).reshape(B, -1)
+    f = int(front_np[0])
+    ct = out_np[0, 4 * f: 4 * (f + ns[0])].tobytes()
+    tag = bytes(np.asarray(ref_tags)[0])
+    assert ct + tag == gcm_encrypt(keys[0], nonces[0], aads[0], pts[0])
+
+
+def test_chain_sharded_matches_unsharded():
+    """Lane-packed CBC/CFB/OFB chains over a dp mesh == unsharded."""
+    import jax.numpy as jnp
+
+    from micro_aes_tpu.core.bitslice import key_planes_packed
+    from micro_aes_tpu.modes._scan import (
+        cbc_encrypt_scan_packed,
+        cfb_encrypt_scan_packed,
+        ofb_keystream_scan_packed,
+    )
+    from micro_aes_tpu.modes.bulk import stack_round_keys
+    from micro_aes_tpu.parallel.batch import chain_sharded_fn
+    from micro_aes_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(62)
+    B, nb = 64, 5  # dp=2 -> 32 lanes (one word) per device
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+            for _ in range(B)]
+    kpw = jnp.asarray(key_planes_packed(stack_round_keys(keys)))
+    ivs = jnp.asarray(rng.integers(0, 256, (B, 16), dtype=np.uint8))
+    blocks = jnp.asarray(rng.integers(0, 256, (B, nb, 16), dtype=np.uint8))
+    dummy = jnp.zeros(nb, jnp.uint8)
+
+    mesh = make_mesh(2, 1)
+    for kind, ref_fn, data in (("cbc", cbc_encrypt_scan_packed, blocks),
+                               ("cfb", cfb_encrypt_scan_packed, blocks),
+                               ("ofb", ofb_keystream_scan_packed, dummy)):
+        got = np.asarray(chain_sharded_fn(mesh, kind)(kpw, ivs, data))
+        want = np.asarray(ref_fn(kpw, ivs, data))
+        assert np.array_equal(got, want), kind
