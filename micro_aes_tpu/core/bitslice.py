@@ -7,12 +7,14 @@ word holding that bit for 32 blocks — and every AES round is pure XOR/AND
 plane algebra on the VPU:
 
   * SubBytes  -> the Boyar–Peralta logic-minimized circuit (forward:
-                 115 gates; inverse: 130 gates, DERIVED at import from
+                 115 netlist gates = 119 VPU ops, XNOR lowering to
+                 XOR+NOT; inverse: 130 VPU ops, DERIVED at import from
                  the forward circuit's shared nonlinear middle by
                  composing its probed linear layers with the inverse
                  affine map — see the S-box section below); both
                  directions are verified against all 256 entries of the
-                 algebraically-derived tables at import;
+                 algebraically-derived tables at import, and the op
+                 counts are pinned by tests/test_core.py;
   * ShiftRows -> a static permutation of the 16 byte-position columns;
   * MixColumns-> xtime is a plane-index shuffle + conditional XOR;
   * AddRoundKey-> XOR with broadcast key planes.
@@ -61,9 +63,10 @@ _C_BITS = np.array([(0x63 >> k) & 1 for k in range(8)], np.uint8)
 # ---------------------------------------------------------------------------
 # Forward: the logic-minimized combinational circuit of Boyar & Peralta
 # ("A new combinational logic minimization technique with applications
-# to cryptology", SEA 2010) — 115 gates vs the 178 of the tower-field
-# circuit this replaces; SubBytes dominates every fused kernel, so this
-# is a direct VPU-op reduction on the hot path.  (The reference instead
+# to cryptology", SEA 2010) — 115 netlist gates, 119 VPU ops (the four
+# output XNORs lower to XOR+NOT) vs the 178 of the tower-field circuit
+# this replaces; SubBytes dominates every fused kernel, so this is a
+# direct VPU-op reduction on the hot path.  (The reference instead
 # stores both boxes as 256-byte ROM literals, micro_aes.c:41-64.)
 #
 # Inverse: NOT transcribed — DERIVED at import.  The netlist factors as

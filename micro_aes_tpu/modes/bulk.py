@@ -42,23 +42,32 @@ def _regroup_mixed_keys(nlists: int):
     into per-key-size sub-batches (at most 3) and the results are
     reassembled in order.  `nlists` counts the per-message list
     arguments that follow `keys`; anything after them passes through
-    unchanged.  An empty batch returns []."""
+    unchanged.  Arguments are bound by SIGNATURE, so keyword-passed
+    lists regroup correctly too.  An empty batch returns []."""
+    import inspect
+
     def deco(fn):
+        params = list(inspect.signature(fn).parameters)
+
         @functools.wraps(fn)
-        def wrapper(keys, *args, **kw):
-            keys = [bytes(k) for k in keys]
+        def wrapper(*args, **kw):
+            bound = inspect.signature(fn).bind(*args, **kw)
+            bound.apply_defaults()
+            keys = [bytes(k) for k in bound.arguments[params[0]]]
             sizes = {len(k) for k in keys}
             if not keys:
                 return []
             if len(sizes) == 1:
-                return fn(keys, *args, **kw)
-            lists, rest = args[:nlists], args[nlists:]
+                bound.arguments[params[0]] = keys
+                return fn(*bound.args, **bound.kwargs)
+            lists = [list(bound.arguments[p]) for p in params[1: 1 + nlists]]
             out: list = [None] * len(keys)
             for klen in sorted(sizes):
                 idxs = [i for i, k in enumerate(keys) if len(k) == klen]
-                sub = fn([keys[i] for i in idxs],
-                         *[[lst[i] for i in idxs] for lst in lists],
-                         *rest, **kw)
+                bound.arguments[params[0]] = [keys[i] for i in idxs]
+                for p, lst in zip(params[1: 1 + nlists], lists):
+                    bound.arguments[p] = [lst[i] for i in idxs]
+                sub = fn(*bound.args, **bound.kwargs)
                 for j, i in enumerate(idxs):
                     out[i] = sub[j]
             return out
@@ -98,11 +107,9 @@ def cipher_blocks_multikey(keys: list, blocks, decrypt: bool = False
         rks = jnp.asarray(stack_round_keys(keys))
         fn = _dec_vmap if decrypt else _enc_vmap
         return np.asarray(fn(rks, jnp.asarray(blocks)))
-    from ..ops.pallas_multikey import ctrw_fused_multikey
-    from ..ops.pallas_seal import SEAL_TILE_W
+    from ..ops.pallas_multikey import ctrw_fused_multikey, mk_window_words
 
-    wm = -(-nb // 32)
-    wm += (-wm) % (SEAL_TILE_W if wm > SEAL_TILE_W else 8)
+    wm = mk_window_words(nb)
     buf = np.zeros((b, wm * 128), np.uint32)
     buf[:, : nb * 4] = blocks.reshape(b, nb * 16).view(np.uint32)
     kp_stack = jnp.asarray(np.concatenate(
@@ -114,6 +121,19 @@ def cipher_blocks_multikey(keys: list, blocks, decrypt: bool = False
     return np.ascontiguousarray(o).view(np.uint8).reshape(b, nb, BLOCK)
 
 
+def _multikey_dev_gate() -> bool:
+    """MICRO_AES_MULTIKEY_DEV=0/1 overrides the backend gate so the CPU
+    differential test can drive the device-resident relayout glue
+    (bitcast byte order, window pad, un-pad slice) through the
+    interpret-mode kernel."""
+    import os
+
+    v = os.environ.get("MICRO_AES_MULTIKEY_DEV")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
 def cipher_blocks_multikey_dev(keys: list, blocks, decrypt: bool = False):
     """Device-resident twin of cipher_blocks_multikey: jnp uint8[B,nb,16]
     in -> jnp uint8[B,nb,16] out with the pad/relayout done by bitcast
@@ -123,15 +143,13 @@ def cipher_blocks_multikey_dev(keys: list, blocks, decrypt: bool = False):
     leave the device."""
     b, nb = blocks.shape[0], blocks.shape[1]
     keys = [bytes(k) for k in keys]
-    if (jax.default_backend() != "tpu" or nb < 32 or b * nb < 2048
+    if (not _multikey_dev_gate() or nb < 32 or b * nb < 2048
             or len({len(k) for k in keys}) > 1):
         return jnp.asarray(
             cipher_blocks_multikey(keys, np.asarray(blocks), decrypt))
-    from ..ops.pallas_multikey import ctrw_fused_multikey
-    from ..ops.pallas_seal import SEAL_TILE_W
+    from ..ops.pallas_multikey import ctrw_fused_multikey, mk_window_words
 
-    wm = -(-nb // 32)
-    wm += (-wm) % (SEAL_TILE_W if wm > SEAL_TILE_W else 8)
+    wm = mk_window_words(nb)
     u32 = jax.lax.bitcast_convert_type(
         jnp.asarray(blocks).reshape(b, nb * 4, 4), jnp.uint32)
     buf = jnp.pad(u32, ((0, 0), (0, wm * 128 - nb * 4)))
@@ -274,9 +292,10 @@ def cmac_batch(keys: list[bytes], msgs: list[bytes]) -> list[bytes]:
     from ..ops.mac import double_be_np
 
     B = len(keys)
-    rks = jnp.asarray(stack_round_keys(keys))
+    rks = stack_round_keys(keys)  # folds take the HOST stack (no pull)
     msgs = [bytes(to_u8(m)) for m in msgs]
-    L = np.asarray(_enc_vmap(rks, jnp.zeros((B, 1, BLOCK), jnp.uint8)))[:, 0]
+    L = np.asarray(_enc_vmap(jnp.asarray(rks),
+                             jnp.zeros((B, 1, BLOCK), jnp.uint8)))[:, 0]
     k1 = double_be_np(L)
     k2 = double_be_np(k1)
 
@@ -430,12 +449,12 @@ def eax_encrypt_batch(keys, nonces, aads, pts, tag_len: int = 16) -> list[bytes]
     plaintext uploads once, the ciphertext OMAC folds the device-side
     xor result directly, and only the ciphertext and tags come back."""
     B = len(keys)
-    rks = jnp.asarray(stack_round_keys(keys))
+    rks = stack_round_keys(keys)  # folds take the HOST stack (no pull)
     nonces = [to_u8(x) for x in nonces]
     aads = [to_u8(x) for x in aads]
     pts = [to_u8(x) for x in pts]
     lens = [len(p) for p in pts]
-    k1, k2 = _eax_subkeys(rks, B)
+    k1, k2 = _eax_subkeys(jnp.asarray(rks), B)
 
     n_mac = _omac_small_dev(rks, k1, k2, 0, nonces)
     h_mac = _omac_small_dev(rks, k1, k2, 1, aads)
@@ -467,14 +486,14 @@ def eax_decrypt_batch(keys, nonces, aads, ct_tags,
     from ..utils.bytesio import verify_tag
 
     B = len(keys)
-    rks = jnp.asarray(stack_round_keys(keys))
+    rks = stack_round_keys(keys)  # folds take the HOST stack (no pull)
     nonces = [to_u8(x) for x in nonces]
     aads = [to_u8(x) for x in aads]
     data = [to_u8(x) for x in ct_tags]
     cts = [d[: len(d) - tag_len] for d in data]
     tags = [bytes(d[len(d) - tag_len:]) for d in data]
     lens = [len(c) for c in cts]
-    k1, k2 = _eax_subkeys(rks, B)
+    k1, k2 = _eax_subkeys(jnp.asarray(rks), B)
 
     n_mac = _omac_small_dev(rks, k1, k2, 0, nonces)
     h_mac = _omac_small_dev(rks, k1, k2, 1, aads)
@@ -574,7 +593,7 @@ def ccm_encrypt_batch(keys, nonces, aads, pts, nonce_len: int | None = None,
     from .ccm import _iv0
 
     B = len(keys)
-    rks = jnp.asarray(stack_round_keys(keys))
+    rks = stack_round_keys(keys)  # folds take the HOST stack (no pull)
     aads = [to_u8(x) for x in aads]
     pts = [to_u8(x) for x in pts]
     iv0s = np.stack([
@@ -611,7 +630,7 @@ def ccm_decrypt_batch(keys, nonces, aads, ct_tags,
     from .ccm import _iv0
 
     B = len(keys)
-    rks = jnp.asarray(stack_round_keys(keys))
+    rks = stack_round_keys(keys)  # folds take the HOST stack (no pull)
     aads = [to_u8(x) for x in aads]
     data = [to_u8(x) for x in ct_tags]
     cts = [d[: len(d) - tag_len] for d in data]

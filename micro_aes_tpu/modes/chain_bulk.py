@@ -90,10 +90,14 @@ def _chain_group(kind: str, rks: np.ndarray, ivb: np.ndarray,
     kpw = jnp.asarray(key_planes_packed(rks))
     ivj = jnp.asarray(ivb)
     if jax.default_backend() == "tpu":
-        # VMEM-resident Pallas chain kernel (carry never leaves VMEM)
-        from ..ops.pallas_chain import chain_packed_fused
+        # VMEM-resident Pallas chain kernels (carry never leaves VMEM;
+        # OFB has no data operand, so nothing uploads at all)
+        from ..ops.pallas_chain import chain_packed_fused, ofb_packed_fused
 
-        ys = chain_packed_fused(kind, kpw, ivj, jnp.asarray(buf))
+        if kind == "ofb":
+            ys = ofb_packed_fused(kpw, ivj, buf.shape[1])
+        else:
+            ys = chain_packed_fused(kind, kpw, ivj, jnp.asarray(buf))
     elif kind == "cbc":
         ys = cbc_encrypt_scan_packed(kpw, ivj, jnp.asarray(buf))
     elif kind == "cfb":

@@ -182,12 +182,10 @@ def _prep(keys, nonces, aads, datas):
     b = len(keys)
     ns = [len(d) // BLOCK for d in datas]
     nas = [-(-len(a) // BLOCK) for a in aads]
-    from ..ops.pallas_seal import SEAL_TILE_W
+    from ..ops.pallas_multikey import mk_window_words
 
     need = max(n + na + 2 for n, na in zip(ns, nas))
-    wm = -(-need // 32)
-    # per-message window must tile evenly inside the multikey kernel
-    wm += (-wm) % (SEAL_TILE_W if wm > SEAL_TILE_W else 8)
+    wm = mk_window_words(need)  # the kernel's window/tile contract
     span = 32 * wm
 
     buf = np.zeros((b, span * 4), np.uint32)

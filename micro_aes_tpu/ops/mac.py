@@ -98,25 +98,47 @@ def cbcmac_fold_batch(rks, init, blocks, nvalid):
     return acc
 
 
+@functools.lru_cache(maxsize=64)
+def _kpw_cached(rks_bytes: bytes, b: int, nr: int) -> np.ndarray:
+    """Memoized lane-packed key planes: the EAX/CCM engines fold with
+    the SAME round-key stack several times per batch call."""
+    from ..core.bitslice import key_planes_packed
+
+    return key_planes_packed(
+        np.frombuffer(rks_bytes, np.uint8).reshape(b, nr, 16))
+
+
+def _packed_folds() -> bool:
+    """MICRO_AES_PACKED_FOLDS=0/1 overrides the backend gate so the CPU
+    differential tests can drive the same pad/pack glue a TPU runs."""
+    import os
+
+    v = os.environ.get("MICRO_AES_PACKED_FOLDS")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
 def cbcmac_fold_batch_auto(rks, init, blocks, nvalid):
     """Backend dispatch for the batched CBC-MAC fold: on TPU the batch
     is lane-packed (32 messages per word, per-lane keys) and folded by
     the VMEM-resident Pallas chain kernel; elsewhere the vmapped
     gather-cipher scan above (which on TPU runs the 256-entry S-box
     lookup per byte).  rks uint8[B,R+1,16] (one key SIZE per call — the
-    bulk engines already regroup mixed sizes)."""
-    if jax.default_backend() != "tpu" or blocks.shape[0] == 0:
+    bulk engines already regroup mixed sizes; pass it as NUMPY to avoid
+    a device pull)."""
+    if not _packed_folds() or blocks.shape[0] == 0:
         return cbcmac_fold_batch(jnp.asarray(rks), jnp.asarray(init),
                                  jnp.asarray(blocks), jnp.asarray(nvalid))
-    from ..core.bitslice import key_planes_packed
     from .pallas_chain import cbcmac_packed_fused
 
     b = blocks.shape[0]
     pad = (-b) % 32
-    rks_np = np.asarray(rks, np.uint8)  # keys are host data; tiny
+    rks_np = np.asarray(rks, np.uint8)  # host data when callers pass np
     if pad:
         rks_np = np.concatenate([rks_np, np.repeat(rks_np[-1:], pad, 0)])
-    kpw = jnp.asarray(key_planes_packed(rks_np))
+    kpw = jnp.asarray(_kpw_cached(rks_np.tobytes(), rks_np.shape[0],
+                                  rks_np.shape[1]))
     init_j = jnp.asarray(init)
     blocks_j = jnp.asarray(blocks)
     nv_j = jnp.asarray(nvalid, jnp.int32)

@@ -144,6 +144,70 @@ def chain_fused(kind: str, kpw, carry0, x):
     return out.reshape(nb, 8, 16, w), c2.reshape(8, 16, w)
 
 
+def _ofb_kernel(rounds: int, nsteps: int, kpw_ref, c_ref, y_ref, co_ref):
+    """OFB keystream (y = E(carry); carry = y, micro_aes.c:872-876):
+    no data operand at all — the x input the general chain kernel DMAs
+    per segment would be pure wasted HBM traffic here."""
+    def body(i, carry):
+        out = _cipher_lanekeys(rounds, kpw_ref, list(carry))
+        y_ref[pl.ds(i * 128, 128), :] = jnp.concatenate(out, axis=0)
+        return tuple(out)
+
+    carry0 = tuple(c_ref[b * 16:(b + 1) * 16, :] for b in range(8))
+    carry = jax.lax.fori_loop(0, nsteps, body, carry0)
+    co_ref[:] = jnp.concatenate(list(carry), axis=0)
+
+
+def _ofb_seg(rounds: int, nsteps: int, tile: int, kpw2, c2):
+    w = c2.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_ofb_kernel, rounds, nsteps),
+        interpret=_interpret(),
+        out_shape=(
+            jax.ShapeDtypeStruct((nsteps * 128, w), jnp.uint32),
+            jax.ShapeDtypeStruct((128, w), jnp.uint32),
+        ),
+        grid=(w // tile,),
+        in_specs=[
+            pl.BlockSpec((kpw2.shape[0], tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nsteps * 128, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(kpw2, c2)
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def ofb_packed_fused(kpw, ivs, nb: int):
+    """Lane-packed OFB keystreams, VMEM-resident: ivs uint8[B,16],
+    B % 32 == 0 -> uint8[B,nb,16] of keystream blocks (no data operand;
+    callers xor host-side or on device)."""
+    from ..core.bitslice import pack_planes, unpack_planes
+
+    b = ivs.shape[0]
+    w = b // 32
+    rounds = kpw.shape[0] - 1
+    tile = _tile_for(w)
+    kpw2 = kpw.reshape(-1, w)
+    c2 = pack_planes(ivs).reshape(128, w)
+    ys = []
+    i = 0
+    while i < nb:
+        nsteps = min(CHAIN_SEG, nb - i)
+        y, c2 = _ofb_seg(rounds, nsteps, tile, kpw2, c2)
+        ys.append(y)
+        i += nsteps
+    out = jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0]
+    return jax.vmap(lambda p: unpack_planes(p, b), out_axes=1)(
+        out.reshape(nb, 8, 16, w))
+
+
 def _cbcmac_kernel(rounds: int, nsteps: int, kpw_ref, c_ref, x_ref,
                    m_ref, co_ref):
     """Masked CBC-MAC fold (xMac with mix = cipher, micro_aes.c:551-571):

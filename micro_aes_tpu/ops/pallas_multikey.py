@@ -27,6 +27,15 @@ from .pallas_seal import (
 )
 
 
+def mk_window_words(nblocks: int) -> int:
+    """Per-message window width (u32[*,128] rows of 32 blocks) the
+    multikey kernel's grid contract requires: ceil(nblocks/32) padded
+    to the Pallas tile width (or 8 for sub-tile windows).  THE single
+    definition — bulk.py and seal_batch.py must agree with the kernel."""
+    wm = -(-nblocks // 32)
+    return wm + (-wm) % (SEAL_TILE_W if wm > SEAL_TILE_W else 8)
+
+
 def _mk_kernel(rounds: int, decrypt: bool, kp_ref, ctrw_ref, ptw_ref,
                ctw_ref):
     ctw_ref[:] = jnp.transpose(_ctrw_math(

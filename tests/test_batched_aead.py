@@ -177,3 +177,48 @@ def test_mixed_key_sizes_in_one_batch():
                    for k, a, p in zip(sivkeys, aads, pts)]
     assert bulk.siv_decrypt_batch(sivkeys, [iv for iv, _ in got], aads,
                                   [ct for _, ct in got]) == pts
+
+
+def test_device_resident_paths_forced_on_cpu():
+    """Force the TPU-gated device-resident glue (multikey relayout,
+    lane-packed MAC folds) through the interpret-mode kernels on CPU and
+    pin it against the host paths — a relayout regression (bitcast byte
+    order, window pad, un-pad slice) must not be TPU-only-visible."""
+    import os
+
+    import jax.numpy as jnp
+
+    from micro_aes_tpu.modes import bulk
+    from micro_aes_tpu.modes.ccm import ccm_encrypt
+
+    rng = np.random.default_rng(71)
+    B, nb = 64, 32  # above the dev-path size thresholds
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+            for _ in range(B)]
+    blocks = rng.integers(0, 256, (B, nb, 16), dtype=np.uint8)
+    want = bulk.cipher_blocks_multikey(keys, blocks)
+    os.environ["MICRO_AES_MULTIKEY_DEV"] = "1"
+    try:
+        got = np.asarray(
+            bulk.cipher_blocks_multikey_dev(keys, jnp.asarray(blocks)))
+        assert np.array_equal(got, want)
+        gotd = np.asarray(bulk.cipher_blocks_multikey_dev(
+            keys, jnp.asarray(want), decrypt=True))
+        assert np.array_equal(gotd, blocks)
+    finally:
+        del os.environ["MICRO_AES_MULTIKEY_DEV"]
+
+    # packed folds forced through the full CCM engine (kwargs too:
+    # exercises the signature-bound mixed-key regrouping)
+    keys3 = [bytes(range(16)), bytes(range(32)), bytes(range(24))]
+    nonces3 = [bytes(range(11))] * 3
+    aads3 = [b"", b"hdr", b"x" * 20]
+    pts3 = [b"A" * 40, b"", b"B" * 16]
+    os.environ["MICRO_AES_PACKED_FOLDS"] = "1"
+    try:
+        got = bulk.ccm_encrypt_batch(keys3, nonces3, aads3, pts=pts3)
+        assert got == [ccm_encrypt(k, n, a, p)
+                       for k, n, a, p in zip(keys3, nonces3, aads3, pts3)]
+        assert bulk.ccm_decrypt_batch(keys3, nonces3, aads3, got) == pts3
+    finally:
+        del os.environ["MICRO_AES_PACKED_FOLDS"]

@@ -187,14 +187,17 @@ def test_chain_kernel_interpret_matches_scan():
     ivs = jnp.asarray(rng.integers(0, 256, (b, 16), dtype=np.uint8))
     blocks = jnp.asarray(rng.integers(0, 256, (b, nb, 16), dtype=np.uint8))
 
+    from micro_aes_tpu.ops.pallas_chain import ofb_packed_fused
+
     for kind, scan in (("cbc", cbc_encrypt_scan_packed),
                        ("cfb", cfb_encrypt_scan_packed),
                        ("ofb", None)):
-        got = np.asarray(chain_packed_fused(kind, kpw, ivs, blocks))
         if kind == "ofb":
+            got = np.asarray(ofb_packed_fused(kpw, ivs, nb))
             want = np.asarray(ofb_keystream_scan_packed(
                 kpw, ivs, jnp.zeros(nb, jnp.uint8)))
         else:
+            got = np.asarray(chain_packed_fused(kind, kpw, ivs, blocks))
             want = np.asarray(scan(kpw, ivs, blocks))
         assert np.array_equal(got, want), kind
 
