@@ -128,6 +128,40 @@ def main() -> int:
     check("multi-key GCM open round-trip",
           gcm_open_batch(bkeys, bnonces, baads, bres) == bpts)
 
+    from micro_aes_tpu.modes.bulk import ccm_encrypt_batch, eax_encrypt_batch
+    from micro_aes_tpu.modes.ccm import ccm_encrypt
+    from micro_aes_tpu.modes.eax import eax_encrypt
+
+    cnonces = [n[:11] for n in bnonces]
+    cres = ccm_encrypt_batch(bkeys, cnonces, baads, bpts)
+    check("device-resident CCM batch == per-message CCM",
+          all(cres[i] == ccm_encrypt(bkeys[i], cnonces[i], baads[i], bpts[i])
+              for i in range(8)))
+    eres = eax_encrypt_batch(bkeys, bnonces, baads, bpts)
+    check("device-resident EAX batch == per-message EAX",
+          all(eres[i] == eax_encrypt(bkeys[i], bnonces[i], baads[i], bpts[i])
+              for i in range(8)))
+
+    from micro_aes_tpu.modes.cbc import cbc_encrypt
+    from micro_aes_tpu.modes.chain_bulk import cbc_encrypt_batch, \
+        ofb_xcrypt_batch
+    from micro_aes_tpu.modes.ofb import ofb_encrypt
+
+    ckeys = [bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+             for _ in range(48)]
+    civs = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+            for _ in range(48)]
+    cpts = [bytes(rng.integers(0, 256, 16 * (2 + i), dtype=np.uint8))
+            for i in range(48)]
+    got = cbc_encrypt_batch(ckeys, civs, cpts)
+    check("chain kernel CBC batch == per-message CBC",
+          all(got[i] == cbc_encrypt(ckeys[i], civs[i], cpts[i])
+              for i in range(48)))
+    got = ofb_xcrypt_batch(ckeys, civs, cpts)
+    check("OFB keystream kernel == per-message OFB",
+          all(got[i] == ofb_encrypt(ckeys[i], civs[i], cpts[i])
+              for i in range(48)))
+
     from micro_aes_tpu.fpe import fpe_encrypt
     from micro_aes_tpu.fpe.device import fpe_decrypt_batch, fpe_encrypt_batch
 
