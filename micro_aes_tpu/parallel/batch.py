@@ -16,8 +16,12 @@ parallel/multihost.host_local_batch so each host feeds its local slice.
 from __future__ import annotations
 
 import jax
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def seal_batch_sharded_fn(mesh: Mesh, b: int, wm: int):
