@@ -13,6 +13,28 @@ multi-chip path (parallel/).  See README.md for the component map.
 
 __version__ = "1.0.0"  # capability parity target: µAES v11 ("1.11.0")
 
+
+def purge_key_caches() -> int:
+    """BURN analogue (micro_aes.c:362-368): drop every memoized
+    key-derived object (round keys, key planes, CMAC subkeys, GHASH/
+    POLYVAL matrices, Poly1305 power tables) across the package.
+    Imports the bulk/fused engine modules first so their caches are
+    registered even if they haven't been used yet.  Returns the number
+    of caches cleared; same-key calls afterwards re-derive."""
+    from .fpe import device as _fpe_device  # noqa: F401
+    from .modes import (  # noqa: F401
+        bulk as _bulk,
+        ocb_bulk as _ocb_bulk,
+        seal as _seal,
+        seal_batch as _seal_batch,
+        siv_seal as _siv_seal,
+        xts_bulk as _xts_bulk,
+    )
+    from .ops import mac as _mac, poly_bulk as _poly_bulk  # noqa: F401
+    from .utils.keycache import purge_key_caches as _purge
+
+    return _purge()
+
 from .core import aes_cipher, decrypt_blocks, encrypt_blocks, expand_key
 from .errors import (
     AuthenticationError,
@@ -34,6 +56,7 @@ from .modes import (
 
 __all__ = [
     "__version__",
+    "purge_key_caches",
     # core
     "aes_cipher", "encrypt_blocks", "decrypt_blocks", "expand_key",
     # errors

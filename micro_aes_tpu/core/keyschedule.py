@@ -28,7 +28,10 @@ def num_rounds(key_len: int) -> int:
     return key_len // 4 + 6
 
 
-@functools.lru_cache(maxsize=512)
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=512)
 def _expand_cached(key: bytes) -> np.ndarray:
     nk = len(key) // 4
     rounds = nk + 6

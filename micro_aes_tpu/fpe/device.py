@@ -271,12 +271,15 @@ def _ff3_device(rks_rev, kp_rev, tl, tr, x, radix: int, n: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=64)
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=64)
 def _rks(key: bytes):
     return jnp.asarray(expand_key(key))
 
 
-@functools.lru_cache(maxsize=64)
+@key_cache(maxsize=64)
 def _kp(key: bytes):
     from ..core.bitslice import key_planes
 

@@ -25,7 +25,10 @@ _enc_vmap = jax.jit(jax.vmap(encrypt_blocks))
 _dec_vmap = jax.jit(jax.vmap(decrypt_blocks))
 
 
-@functools.lru_cache(maxsize=65536)
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=65536)
 def _expand_cached(key: bytes) -> np.ndarray:
     return expand_key(key)
 
@@ -75,7 +78,7 @@ def _regroup_mixed_keys(nlists: int):
     return deco
 
 
-@functools.lru_cache(maxsize=4096)
+@key_cache(maxsize=4096)
 def _kp_cached(key: bytes) -> np.ndarray:
     from ..core.bitslice import key_planes
 

@@ -23,7 +23,10 @@ from ..utils.bytesio import BLOCK, block_bucket, from_blocks, to_blocks, to_u8
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=512)
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=512)
 def round_keys(key: bytes) -> jax.Array:
     return jnp.asarray(expand_key(key))
 
@@ -120,7 +123,7 @@ def pad_message(data: np.ndarray, padding: int) -> tuple[np.ndarray, bool]:
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=512)
+@key_cache(maxsize=512)
 def cmac_subkeys(key: bytes, little_endian: bool = False, quad: bool = True):
     """(K1, K2) per getSubkeys: K1 = double^quad(E_K(0)), K2 = double(K1)."""
     dbl = double_le_np if little_endian else double_be_np

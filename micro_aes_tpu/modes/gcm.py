@@ -29,7 +29,10 @@ GCM_NONCE_LEN = 12
 GCM_TAG_LEN = 16
 
 
-@functools.lru_cache(maxsize=8192)  # 16 KB/entry; covers the 7875-key CAVP files
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=8192)  # 16 KB/entry; covers the 7875-key CAVP files
 def _auth_matrix(key: bytes):
     """M_H for H = E_K(0) (GCMsetup, micro_aes.c:1140-1144), cached per key."""
     h = enc_block(key, np.zeros(16, np.uint8))

@@ -21,7 +21,10 @@ SIVGCM_NONCE_LEN = 12
 SIVGCM_TAG_LEN = 16
 
 
-@functools.lru_cache(maxsize=256)
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=256)
 def _derive_keys(key: bytes, nonce: bytes) -> tuple[bytes, bytes]:
     """GCM_SIVsetup: halves of E_K(le32(i) || nonce) for i = 0.. give the
     auth key (2 halves) then the message key (Nk/2 halves)."""
@@ -54,7 +57,7 @@ def _polyval(auth_key: bytes, aad, pt) -> np.ndarray:
     return np.asarray(g)
 
 
-@functools.lru_cache(maxsize=256)
+@key_cache(maxsize=256)
 def _polyval_matrix_cached(auth_key: bytes):
     return polyval_matrix(np.frombuffer(auth_key, np.uint8))
 

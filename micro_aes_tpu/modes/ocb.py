@@ -23,7 +23,10 @@ OCB_TAG_LEN = 16
 _MAX_L = 48  # supports messages up to 2^48 blocks
 
 
-@functools.lru_cache(maxsize=256)
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=256)
 def _subkeys(key: bytes):
     """L_* = E(0), L_$ = 2·L_*, L_i = 2·L_{i-1} (getSubkeys quad=0 + ladder)."""
     l_star = enc_block(key, np.zeros(BLOCK, np.uint8))

@@ -25,7 +25,10 @@ from .common import enc_block, to_u8
 from .ocb import OCB_TAG_LEN, _offset0, _offsets, _subkeys
 
 
-@functools.lru_cache(maxsize=64)
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=64)
 def _ocb_key_setup(key: bytes):
     return jnp.asarray(key_planes(expand_key(key))).reshape(-1, 1)
 

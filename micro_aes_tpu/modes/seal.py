@@ -48,7 +48,10 @@ from ..utils.bytesio import BLOCK, verify_tag
 from .common import enc_block
 
 
-@functools.lru_cache(maxsize=64)
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=64)
 def gcm_key_setup(key: bytes, chunk: int = 32, chunk2: int = 32):
     """Per-key precompute: bitsliced key planes + plane-ordered GHASH
     power tables."""
@@ -114,7 +117,7 @@ _gcm_seal_jit = jax.jit(gcm_seal_kernel)
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=512)
+@key_cache(maxsize=512)
 def _trail_adjust_t(key: bytes, z: int):
     """((M_H^z)^-1)^T as int8 — compensates the z trailing masked stream
     positions of the fused kernel (exponents count from the stream end)."""
@@ -231,7 +234,7 @@ def fused_trailing_pad(n_blocks: int, chunk2: int = 32) -> int:
     return 32 * w - n_blocks - 2
 
 
-@functools.lru_cache(maxsize=512)
+@key_cache(maxsize=512)
 def _aad_shift_t(key: bytes, n_ct_blocks: int):
     """(M_H^n)^T as int8 — shifts the AAD partial past the ciphertext
     blocks: G = M^n * G_aad ^ G_ct."""

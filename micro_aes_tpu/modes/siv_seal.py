@@ -37,7 +37,10 @@ from ..utils.bytesio import BLOCK, verify_tag
 from .gcm_siv import _derive_keys
 
 
-@functools.lru_cache(maxsize=256)
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=256)
 def _siv_key_setup(key: bytes, nonce: bytes):
     """Per-(key, nonce) derived keys + plane-ordered POLYVAL power tables
     (+ transposed level-1 table for the fused kernel) + key planes."""

@@ -98,7 +98,10 @@ def cbcmac_fold_batch(rks, init, blocks, nvalid):
     return acc
 
 
-@functools.lru_cache(maxsize=64)
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=64)
 def _kpw_cached(rks_bytes: bytes, b: int, nr: int) -> np.ndarray:
     """Memoized lane-packed key planes: the EAX/CCM engines fold with
     the SAME round-key stack several times per batch call."""

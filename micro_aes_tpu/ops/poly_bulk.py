@@ -71,7 +71,10 @@ def _level_sizes(n: int) -> list[tuple[int, int]]:
     return sizes or [(FAN, 1)]
 
 
-@functools.lru_cache(maxsize=256)
+from ..utils.keycache import key_cache
+
+
+@key_cache(maxsize=256)
 def poly_power_tables(r: int, n: int):
     """Per-(r, chunk-count) precompute: one (Wtlo, Wthi) pair of int8
     digit matrices [LIMBS, FAN*LIMBS] per fold level.  Level with input

@@ -18,10 +18,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.8
-    from jax import shard_map
-except ImportError:  # pragma: no cover — older jax
-    from jax.experimental.shard_map import shard_map
+from ._shmap import shard_map_nocheck
 
 
 def seal_batch_sharded_fn(mesh: Mesh, b: int, wm: int):
@@ -42,11 +39,10 @@ def seal_batch_sharded_fn(mesh: Mesh, b: int, wm: int):
                                 len_bits, ptw, local_b, wm)
 
     spec = P("dp")
-    fn = shard_map(
+    fn = shard_map_nocheck(
         local_fn, mesh=mesh,
         in_specs=(spec,) * 7,
         out_specs=(spec, spec),
-        check_rep=False,
     )
     return jax.jit(fn)
 
@@ -66,11 +62,10 @@ def chain_sharded_fn(mesh: Mesh, kind: str):
     local = {"cbc": cbc_encrypt_scan_packed,
              "cfb": cfb_encrypt_scan_packed,
              "ofb": ofb_keystream_scan_packed}[kind]
-    fn = shard_map(
+    fn = shard_map_nocheck(
         local, mesh=mesh,
         in_specs=(P(None, None, None, "dp"), P("dp"),
                   P("dp") if kind != "ofb" else P(None)),
         out_specs=P("dp"),
-        check_rep=False,
     )
     return jax.jit(fn)

@@ -18,12 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:  # JAX >= 0.7 exposes shard_map at the top level
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
-
 from jax.sharding import Mesh, PartitionSpec as P
+
+from ._shmap import shard_map_nocheck
 
 from ..core.bitslice import (
     blocks_to_words,
@@ -166,13 +163,12 @@ def gcm_sharded_fused_fn(mesh: Mesh, total_blocks: int, aad_bytes: int = 0,
         )(g)
         return out, tag
 
-    fn = _shard_map(
+    fn = shard_map_nocheck(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(), P("sp"), P("dp"), P("dp"), P("dp", "sp"),
                   P("dp"), P()),
         out_specs=(P("dp", "sp"), P("dp")),
-        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -219,11 +215,10 @@ def gcm_seal_sharded_fn(mesh: Mesh, total_blocks: int):
         )(g)
         return ct, tag
 
-    fn = _shard_map(
+    fn = shard_map_nocheck(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(), P("sp"), P("dp"), P("dp"), P("dp", "sp")),
         out_specs=(P("dp", "sp"), P("dp")),
-        check_vma=False,
     )
     return jax.jit(fn)

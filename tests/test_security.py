@@ -75,6 +75,50 @@ class TestTamperedTagsRaise:
             aes.key_unwrap(self.KEY, _flip_last(blob[:8]) + blob[8:])
 
 
+class TestPurgeKeyCaches:
+    """BURN analogue (micro_aes.c:362-368): every memo over key material
+    is registered with @key_cache and cleared by purge_key_caches()."""
+
+    def test_purge_clears_and_rederives(self):
+        key, nonce, pt = bytes(range(32)), bytes(range(12)), b"burn parity" * 3
+        blob = aes.gcm_encrypt(key, nonce, b"aad", pt)
+        from micro_aes_tpu.utils.keycache import registered_key_caches
+
+        n = aes.purge_key_caches()
+        assert n == len(registered_key_caches()) >= 18
+        for fn in registered_key_caches():
+            assert fn.cache_info().currsize == 0, fn.__name__
+        assert aes.gcm_encrypt(key, nonce, b"aad", pt) == blob
+
+    def test_every_key_material_lru_cache_is_registered(self):
+        """Audit: a bare functools.lru_cache in the package must be on
+        the structural whitelist (holds no key-derived material);
+        anything else must use @key_cache."""
+        import pathlib
+        import re
+
+        import micro_aes_tpu
+
+        root = pathlib.Path(micro_aes_tpu.__file__).parent
+        structural = {
+            # fixed-matrix powers / radix tables / alphabet LUTs — no keys
+            ("modes/xts_bulk.py", "_double_powers_t"),
+            ("modes/xts_bulk.py", "_row_base_powers_t"),
+            ("fpe/device.py", "_num_table"),
+            ("fpe/device.py", "_ydig_table"),
+            ("fpe/device.py", "_ascii_luts"),
+        }
+        found = set()
+        pat = re.compile(
+            r"@functools\.lru_cache\([^)]*\)[^\n]*\ndef (\w+)")
+        for py in root.rglob("*.py"):
+            for m in pat.finditer(py.read_text()):
+                found.add((str(py.relative_to(root)), m.group(1)))
+        unregistered = found - structural
+        assert not unregistered, (
+            f"key-material caches must use @key_cache: {unregistered}")
+
+
 class TestNonceValidation:
     KEY = bytes(range(16))
 
