@@ -281,6 +281,116 @@ def bench_modes(selected):
             _emit("AES-128-EAX batch seal, 2048 x 4 KiB (end-to-end)",
                   bq * 4096 / sorted(ts)[1])
 
+    if "ccm-batch-dev" in selected or "eax-batch-dev" in selected:
+        # DEVICE-RESIDENT rate of the batched CCM/EAX math (multikey
+        # keystream + CBC-MAC/OMAC folds + xor, tags included): inputs
+        # pre-staged on device, outputs left on device.  The end-to-end
+        # rows above are tunnel-bound (~19 MB/s ceiling for 8 MiB
+        # up + down through the remote link); this row is what the same
+        # engines sustain on local hardware where PCIe replaces the
+        # tunnel (BASELINE.md reports both).
+        from micro_aes_tpu.core.bitslice import key_planes_packed
+        from micro_aes_tpu.modes.bulk import (
+            _ccm_b0_prefix,
+            _kp_stack_dev,
+            _multikey_cipher_core,
+            stack_round_keys,
+        )
+        from micro_aes_tpu.modes.ccm import _iv0
+        from micro_aes_tpu.ops.counter import counter_blocks
+        from micro_aes_tpu.ops.mac import cbcmac_fold_batch_auto
+
+        rngd = np.random.default_rng(23)
+        bq, mlen = 2048, 4096
+        nksd = mlen // 16
+        dkeys = [rngd.integers(0, 256, 16, dtype=np.uint8).tobytes()
+                 for _ in range(bq)]
+        rks = stack_round_keys(dkeys)
+        kpwd = jnp.asarray(key_planes_packed(rks))
+        kp_stack = _kp_stack_dev(dkeys)
+        rksj = jnp.asarray(rks)
+        nvp_j = jnp.full(bq, nksd, jnp.int32)
+        pt0 = jnp.zeros((bq, nksd, 16), jnp.uint8)
+        zeros16 = jnp.zeros((bq, 16), jnp.uint8)
+
+        from micro_aes_tpu.ops.pallas_chain import cbcmac_packed_fused
+
+        def fold(init, blocks, nv):
+            if jax.default_backend() == "tpu":
+                return cbcmac_packed_fused(kpwd, init, blocks, nv)
+            return cbcmac_fold_batch_auto(rksj, init, blocks, nv)
+
+        if "ccm-batch-dev" in selected:
+            iv0s = np.stack([_iv0(rngd.integers(0, 256, 11, dtype=np.uint8)
+                                  .tobytes()) for _ in range(bq)])
+            prefixes = [_ccm_b0_prefix(iv0s[i], np.frombuffer(b"hdr", np.uint8),
+                                       mlen, 16) for i in range(bq)]
+            mp = max(p.shape[0] for p in prefixes)
+            pb = np.zeros((bq, mp, 16), np.uint8)
+            for i, p in enumerate(prefixes):
+                pb[i, : p.shape[0]] = p
+            pb_j = jnp.asarray(pb)
+            nv1_j = jnp.asarray(np.array(
+                [p.shape[0] for p in prefixes], np.int32))
+            ctrs = jax.vmap(lambda b: counter_blocks(b, nksd + 1, 0, "be"))(
+                jnp.asarray(iv0s))
+
+            def step(ptj):
+                ks_all = _multikey_cipher_core(kp_stack, ctrs, bq, nksd + 1)
+                acc = fold(zeros16, pb_j, nv1_j)
+                macs = fold(acc, ptj, nvp_j)
+                tags = ks_all[:, 0] ^ macs
+                return (ptj ^ ks_all[:, 1:]) ^ tags[:, None, :]
+            _emit("AES-128-CCM batch seal, 2048 x 4 KiB (device-resident)",
+                  _marginal_rate(loop_of(step), pt0, bq * mlen))
+
+        if "eax-batch-dev" in selected:
+            from micro_aes_tpu.modes.bulk import _eax_subkeys
+
+            k1, k2 = _eax_subkeys(rksj, bq)
+            k1, k2 = np.asarray(k1), np.asarray(k2)
+            enonces = [rngd.integers(0, 256, 12, dtype=np.uint8).tobytes()
+                       for _ in range(bq)]
+            # OMAC(0) over nonces / OMAC(1) over headers: tweak-prefixed
+            # small folds (host-assembled length-only blocks)
+            def omac_small(t, datas):
+                blocks = np.zeros((bq, 2, 16), np.uint8)
+                for i, d in enumerate(datas):
+                    blocks[i, 0, 15] = t
+                    last = np.zeros(16, np.uint8)
+                    last[: len(d)] = np.frombuffer(d, np.uint8)
+                    if len(d) < 16:
+                        last[len(d)] ^= 0x80
+                        last ^= k2[i]
+                    else:
+                        last ^= k1[i]
+                    blocks[i, 1] = last
+                return jnp.asarray(blocks)
+            nblk = omac_small(0, enonces)
+            hblk = omac_small(1, [b"hdr"] * bq)
+            two = jnp.full(bq, 2, jnp.int32)
+            tweak2 = np.zeros((bq, 1, 16), np.uint8)
+            tweak2[:, 0, 15] = 2
+            tweak2_j = jnp.asarray(tweak2)
+            one = jnp.ones(bq, jnp.int32)
+            lastadd = jnp.asarray(k1)  # whole-block last: xor K1
+            onehot = (jnp.arange(nksd)[None, :] == nksd - 1).astype(jnp.uint8)
+
+            def step(ptj):
+                n_mac = fold(zeros16, nblk, two)
+                h_mac = fold(zeros16, hblk, two)
+                ctrs_e = jax.vmap(
+                    lambda b: counter_blocks(b, nksd, 0, "be"))(n_mac)
+                ks = _multikey_cipher_core(kp_stack, ctrs_e, bq, nksd)
+                ct = ptj ^ ks
+                acc = fold(zeros16, tweak2_j, one)
+                mac_in = ct ^ (onehot[:, :, None] * lastadd[:, None, :])
+                c_mac = fold(acc, mac_in, nvp_j)
+                tags = n_mac ^ h_mac ^ c_mac
+                return ct ^ tags[:, None, :]
+            _emit("AES-128-EAX batch seal, 2048 x 4 KiB (device-resident)",
+                  _marginal_rate(loop_of(step), pt0, bq * mlen))
+
     if "cbc-chains" in selected:
         from micro_aes_tpu.core.bitslice import key_planes_packed
         from micro_aes_tpu.modes.bulk import stack_round_keys
@@ -388,7 +498,8 @@ def main(argv=None):
                         default=["gcm-seal", "gcm-open", "ctr", "ocb-seal",
                                  "ocb-open", "xts", "gcm-siv", "gcm-multikey",
                                  "poly1305", "fpe", "cbc-chains", "ccm-batch",
-                                 "eax-batch", "cipher"])
+                                 "eax-batch", "ccm-batch-dev", "eax-batch-dev",
+                                 "cipher"])
     args = parser.parse_args(argv)
     run = bench_mesh if args.mesh else (lambda: bench_modes(set(args.modes)))
     if args.trace:

@@ -449,6 +449,16 @@ def key_planes(round_keys: np.ndarray) -> np.ndarray:
     return (bits.transpose(0, 2, 1).astype(np.uint32) * 0xFFFFFFFF)
 
 
+def key_planes_batch(rks_stack: np.ndarray) -> np.ndarray:
+    """uint8[B, R+1, 16] -> uint32[B, (R+1)*8*16, 1]: the per-key
+    broadcast planes of `key_planes` for a whole key batch in one
+    vectorized op (each row == key_planes(rks).reshape(-1, 1))."""
+    rk = np.asarray(rks_stack, np.uint8)
+    bits = (rk[:, :, :, None] >> np.arange(8)) & 1  # [B,R+1,16,8]
+    planes = bits.transpose(0, 1, 3, 2).astype(np.uint32) * 0xFFFFFFFF
+    return planes.reshape(rk.shape[0], -1, 1)
+
+
 def key_planes_packed(rks_stack: np.ndarray) -> np.ndarray:
     """uint8[B, R+1, 16] per-message round keys -> uint32[R+1, 8, 16, W]
     lane-PACKED key plane words: bit j of [r, b, pos, w] = bit b of byte

@@ -34,7 +34,19 @@ def _expand_cached(key: bytes) -> np.ndarray:
 
 
 def stack_round_keys(keys: list[bytes]) -> np.ndarray:
-    return np.stack([_expand_cached(bytes(k)) for k in keys])
+    """uint8[B, rounds+1, 16] round-key stack.  Large same-size batches
+    expand VECTORIZED (one schedule recurrence over the whole batch,
+    core/keyschedule.expand_keys_batch) — the batch engines see
+    thousands of single-use keys per call, where per-key expansion was
+    the top host cost; small batches keep the per-key cache."""
+    keys = [bytes(k) for k in keys]
+    if len(keys) >= 32 and len({len(k) for k in keys}) == 1:
+        from ..core.keyschedule import expand_keys_batch
+
+        return expand_keys_batch(
+            np.frombuffer(b"".join(keys), np.uint8)
+            .reshape(len(keys), len(keys[0])))
+    return np.stack([_expand_cached(k) for k in keys])
 
 
 def _regroup_mixed_keys(nlists: int):
@@ -85,6 +97,29 @@ def _kp_cached(key: bytes) -> np.ndarray:
     return key_planes(expand_key(key)).reshape(-1, 1)
 
 
+def _kp_stack(keys: list[bytes]) -> np.ndarray:
+    """Concatenated per-key plane columns for the multikey kernel.
+    Large same-size batches go through the vectorized expansion + plane
+    packing (no per-key Python); small ones reuse the per-key cache."""
+    if len(keys) >= 32 and len({len(k) for k in keys}) == 1:
+        from ..core.bitslice import key_planes_batch
+
+        return key_planes_batch(stack_round_keys(keys)).reshape(-1, 1)
+    return np.concatenate([_kp_cached(bytes(k)) for k in keys])
+
+
+def _kp_stack_dev(keys: list[bytes]) -> jax.Array:
+    """Device-side twin of _kp_stack: upload the round-key STACK
+    (B x (R+1) x 16 bytes) and expand the 0/0xFFFFFFFF broadcast planes
+    on device — 32x less transfer than shipping the planes themselves
+    (11.5 MB -> 360 KB at B=2048 AES-128), which was the largest
+    non-payload cost of the batch engines through the remote tunnel."""
+    rkj = jnp.asarray(stack_round_keys(keys))  # [B, R+1, 16] u8
+    bits = (rkj[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    return (bits.transpose(0, 1, 3, 2).astype(jnp.uint32)
+            * jnp.uint32(0xFFFFFFFF)).reshape(-1, 1)
+
+
 def cipher_blocks_multikey(keys: list, blocks, decrypt: bool = False
                            ) -> np.ndarray:
     """E/D over uint8[B, nb, 16] with a key per row.  On TPU with
@@ -115,8 +150,7 @@ def cipher_blocks_multikey(keys: list, blocks, decrypt: bool = False
     wm = mk_window_words(nb)
     buf = np.zeros((b, wm * 128), np.uint32)
     buf[:, : nb * 4] = blocks.reshape(b, nb * 16).view(np.uint32)
-    kp_stack = jnp.asarray(np.concatenate(
-        [_kp_cached(bytes(k)) for k in keys]))
+    kp_stack = jnp.asarray(_kp_stack(keys))
     out = ctrw_fused_multikey(
         kp_stack, jnp.asarray(buf.reshape(b * wm, 128)),
         jnp.zeros((b * wm, 128), jnp.uint32), b, decrypt=decrypt)
@@ -137,31 +171,40 @@ def _multikey_dev_gate() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _multikey_cipher_core(kp_stack, blocks, b: int, nb: int,
+                          decrypt: bool = False):
+    """Jit-traceable multikey cipher body: uint8[B,nb,16] blocks through
+    the multikey stream kernel with the pad/relayout done by bitcast and
+    jnp.pad ON DEVICE.  kp_stack = _kp_stack_dev(keys) (or a host
+    _kp_stack upload); shapes are static."""
+    from ..ops.pallas_multikey import ctrw_fused_multikey, mk_window_words
+
+    wm = mk_window_words(nb)
+    u32 = jax.lax.bitcast_convert_type(
+        blocks.reshape(b, nb * 4, 4), jnp.uint32)
+    buf = jnp.pad(u32, ((0, 0), (0, wm * 128 - nb * 4)))
+    out = ctrw_fused_multikey(kp_stack, buf.reshape(b * wm, 128),
+                              jnp.zeros((b * wm, 128), jnp.uint32), b,
+                              decrypt=decrypt)
+    o = out.reshape(b, wm * 128)[:, : nb * 4]
+    return jax.lax.bitcast_convert_type(o, jnp.uint8).reshape(b, nb, BLOCK)
+
+
 def cipher_blocks_multikey_dev(keys: list, blocks, decrypt: bool = False):
     """Device-resident twin of cipher_blocks_multikey: jnp uint8[B,nb,16]
-    in -> jnp uint8[B,nb,16] out with the pad/relayout done by bitcast
-    and jnp.pad ON DEVICE.  The batch engines are dominated by
+    in -> jnp uint8[B,nb,16] out.  The batch engines are dominated by
     device<->host transfers between stages (the remote tunnel makes
     every hop ~25 ms + bandwidth), so intermediate data must never
-    leave the device."""
+    leave the device — and the key material uploads as the round-key
+    STACK, expanding to broadcast planes on device (32x less transfer)."""
     b, nb = blocks.shape[0], blocks.shape[1]
     keys = [bytes(k) for k in keys]
     if (not _multikey_dev_gate() or nb < 32 or b * nb < 2048
             or len({len(k) for k in keys}) > 1):
         return jnp.asarray(
             cipher_blocks_multikey(keys, np.asarray(blocks), decrypt))
-    from ..ops.pallas_multikey import ctrw_fused_multikey, mk_window_words
-
-    wm = mk_window_words(nb)
-    u32 = jax.lax.bitcast_convert_type(
-        jnp.asarray(blocks).reshape(b, nb * 4, 4), jnp.uint32)
-    buf = jnp.pad(u32, ((0, 0), (0, wm * 128 - nb * 4)))
-    kp_stack = jnp.asarray(np.concatenate([_kp_cached(k) for k in keys]))
-    out = ctrw_fused_multikey(kp_stack, buf.reshape(b * wm, 128),
-                              jnp.zeros((b * wm, 128), jnp.uint32), b,
-                              decrypt=decrypt)
-    o = out.reshape(b, wm * 128)[:, : nb * 4]
-    return jax.lax.bitcast_convert_type(o, jnp.uint8).reshape(b, nb, BLOCK)
+    return _multikey_cipher_core(_kp_stack_dev(keys), jnp.asarray(blocks),
+                                 b, nb, decrypt)
 
 
 def _pad_blocks_batch(datas: list[np.ndarray], nblocks: int) -> np.ndarray:
@@ -563,22 +606,62 @@ def _ccm_b0_prefix(iv0: np.ndarray, aad: np.ndarray, ptlen: int,
     return np.concatenate(segments, axis=0)
 
 
+def _ccm_prefix_batch(iv0s: np.ndarray, aads: list[np.ndarray],
+                      ptlens, tag_len: int):
+    """Vectorized B0 + A-segment assembly (CCMtag, micro_aes.c:1222-1256)
+    for the whole batch: flag/length fields as array ops, the ragged AAD
+    bytes as ONE scatter (VERDICT r2 item 4 — the per-message Python
+    loop here was a serial host cost).  Returns (pb uint8[B,mp,16],
+    nv1 int32[B]); semantics identical to stacking _ccm_b0_prefix rows."""
+    B = len(aads)
+    alens = np.array([len(a) for a in aads], np.int64)
+    m = iv0s.astype(np.uint8).copy()
+    m[:, 0] |= (tag_len - 2) << 2
+    m[:, 0] |= np.where(alens > 0, 0x40, 0).astype(np.uint8)
+    v = np.asarray(ptlens, np.uint64)
+    for i in range(8):  # BE length xor; zero high bytes are no-ops
+        m[:, 15 - i] ^= ((v >> np.uint64(8 * i)) & np.uint64(0xFF)
+                         ).astype(np.uint8)
+
+    # AAD region: length field is 2 bytes (6 with the 0xFFFE prefix for
+    # alen >= 0xFF00), data starts right after, zero-padded to blocks.
+    hdr = np.where(alens > 0xFEFF, 6, 2)
+    na = np.where(alens > 0, -(-(hdr + alens) // BLOCK), 0)
+    mp = int(1 + na.max()) if B else 1
+    pb = np.zeros((B, mp, BLOCK), np.uint8)
+    pb[:, 0] = m
+    region = np.zeros((B, (mp - 1) * BLOCK), np.uint8)
+    if mp > 1:
+        big = alens > 0xFEFF
+        region[big, 0], region[big, 1] = 0xFF, 0xFE
+        av = alens.astype(np.uint64)
+        # BE alen field ends at hdr-1 (xor, mirroring the reference's
+        # backwards loop).  4 fixed iterations: for the 2-byte small
+        # field, bytes 2-3 of av are zero (alen <= 0xFEFF), so their
+        # xors — which land on wrapped columns — are no-ops.
+        for i in range(4):
+            region[np.arange(B), hdr - 1 - i] ^= (
+                (av >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.uint8)
+        flat = np.concatenate([np.asarray(a, np.uint8).reshape(-1)
+                               for a in aads if len(a)])
+        rows = np.repeat(np.arange(B), alens)
+        starts = np.repeat(np.cumsum(alens) - alens, alens)
+        offs = (np.arange(len(flat)) - starts
+                + np.repeat(hdr, alens)).astype(np.int64)
+        region[rows, offs] = flat
+    pb[:, 1:] = region.reshape(B, mp - 1, BLOCK)
+    return pb, (1 + na).astype(np.int32)
+
+
 def _ccm_tags_dev(rks, iv0s, aads, ptlens, pt_blocks_j, nvp, ek0,
                   tag_len: int):
-    """Device-resident CCM tag math: fold the (tiny, host-assembled)
+    """Device-resident CCM tag math: fold the (tiny, batch-assembled)
     B0+AAD prefixes with init 0 (fold(0, [B0, ...]) == fold(E(B0), ...)),
     continue the fold over the shared payload device buffer, and xor
     E(A0) — which is counter block 0 of the keystream pass, so no extra
     single-block cipher dispatches exist anywhere on this path."""
     B = len(ptlens)
-    prefixes = [_ccm_b0_prefix(iv0s[i], aads[i], ptlens[i], tag_len)
-                for i in range(B)]
-    mp = max(p.shape[0] for p in prefixes)
-    pb = np.zeros((B, mp, BLOCK), np.uint8)
-    nv1 = np.zeros(B, np.int32)
-    for i, p in enumerate(prefixes):
-        pb[i, : p.shape[0]] = p
-        nv1[i] = p.shape[0]
+    pb, nv1 = _ccm_prefix_batch(iv0s, aads, ptlens, tag_len)
     acc = cbcmac_fold_batch_auto(rks, jnp.zeros((B, BLOCK), jnp.uint8),
                                  jnp.asarray(pb), jnp.asarray(nv1))
     macs = cbcmac_fold_batch_auto(rks, acc, pt_blocks_j, nvp)

@@ -35,11 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.bitslice import key_planes
-from ..core.keyschedule import expand_key
 from ..ops.gf128 import _bits_np, bits_to_blocks, blocks_to_bits, mul_gf128
 from ..ops.ghash_bulk import _combine_logdepth
-from ..ops.pallas_multikey import ctrw_fused_multikey_auto, mk_key_stack
+from ..ops.pallas_multikey import ctrw_fused_multikey_auto
 from ..utils.bytesio import BLOCK, verify_tag
 
 # unit bit-vectors as blocks (host constant, embedded at lowering)
@@ -212,8 +210,18 @@ def _prep(keys, nonces, aads, datas):
         j0[:12] = np.frombuffer(bytes(nonces[i]), np.uint8)
         j0[15] = 1
         j0w[i] = j0.view(np.uint32)
-    kp_stack = mk_key_stack(
-        [jnp.asarray(key_planes(expand_key(bytes(k)))) for k in keys])
+    from ..core.keyschedule import expand_keys_batch
+
+    # one vectorized expansion for the whole key batch (per-key Python
+    # here dominated the wall time at serving batch sizes), then the
+    # 0/0xFFFFFFFF broadcast planes expand ON DEVICE from the round-key
+    # stack — 32x less upload than shipping the planes.  Layout matches
+    # mk_key_stack over per-key key_planes.
+    rkj = jnp.asarray(expand_keys_batch(
+        np.frombuffer(b"".join(keys), np.uint8).reshape(b, len(keys[0]))))
+    kbits = (rkj[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    kp_stack = (kbits.transpose(0, 1, 3, 2).astype(jnp.uint32)
+                * jnp.uint32(0xFFFFFFFF)).reshape(-1, 1)
     return (b, wm, span, ns, front, kp_stack, jnp.asarray(j0w),
             jnp.asarray(front), jnp.asarray(mask.reshape(-1)),
             jnp.asarray(sel.reshape(-1)),

@@ -47,6 +47,33 @@ def seal_batch_sharded_fn(mesh: Mesh, b: int, wm: int):
     return jax.jit(fn)
 
 
+def xts_sectors_sharded_fn(mesh: Mesh, r_per_sector: int,
+                           decrypt: bool = False):
+    """Disk-sector XTS over the mesh's `dp` axis (SURVEY §2.6 block-
+    index DP for XTS bodies, micro_aes.c:1030): sectors are mutually
+    independent, so the tweak table shards with its sectors and the
+    w-major data stream shards on whole-sector row groups — zero
+    collectives.  Returns fn(kp1, kp2, tweaks[S,16], ptw[S*R,128]) ->
+    output stream; S must divide by dp.  r_per_sector = sector blocks
+    / 32 (whole-32-block sectors; same contract as
+    modes/xts_bulk.xts_sectors_stream_kernel, which each shard runs
+    locally on its slice)."""
+    from ..modes.xts_bulk import _row_base_powers_t, xts_sectors_stream_kernel
+
+    pows = _row_base_powers_t(r_per_sector)
+
+    def local_fn(kp1, kp2, tweaks, ptw):
+        return xts_sectors_stream_kernel(kp1, kp2, pows, tweaks, ptw,
+                                         decrypt=decrypt)
+
+    fn = shard_map_nocheck(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp")),
+        out_specs=P("dp"),
+    )
+    return jax.jit(fn)
+
+
 def chain_sharded_fn(mesh: Mesh, kind: str):
     """Lane-packed serial-chain engine (CBC/CFB encrypt, OFB keystream)
     over the mesh's `dp` axis: per-lane keys shard with their lanes

@@ -222,3 +222,24 @@ def test_device_resident_paths_forced_on_cpu():
         assert bulk.ccm_decrypt_batch(keys3, nonces3, aads3, got) == pts3
     finally:
         del os.environ["MICRO_AES_PACKED_FOLDS"]
+
+
+def test_ccm_prefix_batch_matches_per_message():
+    """The vectorized B0/A-prefix assembly (one ragged scatter) must
+    equal the per-message reference-mirroring builder across every AAD
+    length regime, incl. the 0xFFFE long-AAD encoding boundary."""
+    from micro_aes_tpu.modes.bulk import _ccm_b0_prefix, _ccm_prefix_batch
+
+    rng = np.random.default_rng(5)
+    alens = [0, 1, 3, 13, 14, 15, 16, 30, 255, 4096, 0xFEFF, 0xFF00, 70000]
+    B = len(alens)
+    iv0s = rng.integers(0, 256, (B, 16), dtype=np.uint8)
+    aads = [rng.integers(0, 256, n, dtype=np.uint8) for n in alens]
+    ptlens = [int(x) for x in rng.integers(0, 1 << 20, B)]
+    for tag_len in (4, 16):
+        pb, nv1 = _ccm_prefix_batch(iv0s, aads, ptlens, tag_len)
+        for i in range(B):
+            ref = _ccm_b0_prefix(iv0s[i], aads[i], ptlens[i], tag_len)
+            assert nv1[i] == ref.shape[0]
+            assert np.array_equal(pb[i, : nv1[i]], ref), alens[i]
+            assert not pb[i, nv1[i]:].any()

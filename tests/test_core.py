@@ -64,6 +64,26 @@ def test_key_schedule_shapes():
     )
 
 
+def test_expand_keys_batch_matches_per_key():
+    """The vectorized batch schedule (one recurrence over B keys) must
+    equal the per-key expansion bit-for-bit for every key size, and the
+    batched plane packing must equal per-key key_planes."""
+    from micro_aes_tpu.core.bitslice import key_planes, key_planes_batch
+    from micro_aes_tpu.core.keyschedule import expand_keys_batch
+
+    rng = np.random.default_rng(41)
+    for klen in (16, 24, 32):
+        keys = rng.integers(0, 256, (37, klen), dtype=np.uint8)
+        got = expand_keys_batch(keys)
+        for i in range(keys.shape[0]):
+            np.testing.assert_array_equal(
+                got[i], expand_key(keys[i].tobytes()), err_msg=f"{klen}:{i}")
+        kp = key_planes_batch(got)
+        for i in (0, 17, 36):
+            np.testing.assert_array_equal(
+                kp[i], key_planes(got[i]).reshape(-1, 1))
+
+
 def test_sbox_circuit_gate_counts():
     """Pin the S-box circuit sizes (every fused kernel's dominant cost):
     a regression here silently costs double-digit throughput.  Forward

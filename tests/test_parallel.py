@@ -95,6 +95,50 @@ def test_seal_batch_sharded_matches_unsharded():
     assert ct + tag == gcm_encrypt(keys[0], nonces[0], aads[0], pts[0])
 
 
+@pytest.mark.parametrize("dp", [2, 4, 8])
+def test_xts_sectors_sharded_matches_per_sector(dp):
+    """dp-sharded disk-sector XTS == the per-sector conformance path
+    (zero collectives; sectors shard with their tweaks)."""
+    from micro_aes_tpu.modes.xts import xts_encrypt
+    from micro_aes_tpu.parallel.batch import xts_sectors_sharded_fn
+    from micro_aes_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(63)
+    sector = 512  # 32 blocks -> r_per_sector = 1
+    s = 2 * dp
+    keys = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+    data = rng.integers(0, 256, s * sector, dtype=np.uint8).tobytes()
+    ids = list(range(1000, 1000 + s))
+
+    from micro_aes_tpu.core.bitslice import key_planes
+    from micro_aes_tpu.core.keyschedule import expand_key
+    from micro_aes_tpu.modes.seal import host_stream, host_unstream
+
+    kp1 = jnp.asarray(key_planes(expand_key(keys[:16])))
+    kp2 = jnp.asarray(key_planes(expand_key(keys[16:])))
+    tweaks = np.zeros((s, BLOCK), np.uint8)
+    for i, sid in enumerate(ids):
+        tweaks[i, :8] = np.frombuffer(sid.to_bytes(8, "little"), np.uint8)
+    w = len(data) // BLOCK // 32
+    ptw = jnp.asarray(host_stream(data, 0, w))
+
+    mesh = make_mesh(dp, 1)
+    seal = xts_sectors_sharded_fn(mesh, r_per_sector=1)
+    got = host_unstream(np.asarray(seal(kp1, kp2, jnp.asarray(tweaks), ptw)),
+                        0, len(data))
+    want = b"".join(
+        xts_encrypt(keys, sid.to_bytes(16, "little"),
+                    data[i * sector:(i + 1) * sector])
+        for i, sid in enumerate(ids))
+    assert got == want
+
+    opener = xts_sectors_sharded_fn(mesh, r_per_sector=1, decrypt=True)
+    back = host_unstream(
+        np.asarray(opener(kp1, kp2, jnp.asarray(tweaks),
+                          jnp.asarray(host_stream(got, 0, w)))), 0, len(data))
+    assert back == data
+
+
 def test_chain_sharded_matches_unsharded():
     """Lane-packed CBC/CFB/OFB chains over a dp mesh == unsharded."""
     import jax.numpy as jnp
