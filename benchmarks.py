@@ -191,6 +191,30 @@ def bench_modes(selected):
         _emit("AES-256-GCM-SIV seal",
               _marginal_rate(loop_of(step), stream0, nbytes))
 
+    if "gcm-siv-open" in selected:
+        from micro_aes_tpu.modes.siv_seal import (
+            _siv_key_setup,
+            _siv_open_stream,
+            _stream_words,
+        )
+
+        nonce12 = bytes(range(12))
+        msg_key, kpv, vtables, w1tv = _siv_key_setup(key, nonce12)
+        wv = _stream_words(n_blocks)
+        stream0 = jnp.zeros((wv, 128), jnp.uint32)
+        tagw = jnp.asarray(np.frombuffer(bytes(range(16)), np.uint8)
+                           .copy().view(np.uint32))
+
+        def step(c):
+            # fused open: ONE pass (decrypt + in-kernel POLYVAL of the
+            # recovered plaintext), then the tiny combine.  The pv block
+            # xors into row 0 to keep the tag math live in the loop.
+            ptw, pv = _siv_open_stream(kpv, tagw, vtables, w1tv, c, n_blocks)
+            pvw = jax.lax.bitcast_convert_type(pv.reshape(4, 4), jnp.uint32)
+            return ptw.at[0].set(ptw[0] ^ jnp.tile(pvw, 32))
+        _emit("AES-256-GCM-SIV open (fused single pass)",
+              _marginal_rate(loop_of(step), stream0, nbytes))
+
     if "gcm-multikey" in selected:
         from micro_aes_tpu.modes.seal_batch import _prep, _seal_batch_core
 
@@ -496,7 +520,8 @@ def main(argv=None):
                              "readable (VERDICT r2 weak #5)")
     parser.add_argument("--modes", nargs="*",
                         default=["gcm-seal", "gcm-open", "ctr", "ocb-seal",
-                                 "ocb-open", "xts", "gcm-siv", "gcm-multikey",
+                                 "ocb-open", "xts", "gcm-siv", "gcm-siv-open",
+                                 "gcm-multikey",
                                  "poly1305", "fpe", "cbc-chains", "ccm-batch",
                                  "eax-batch", "ccm-batch-dev", "eax-batch-dev",
                                  "cipher"])

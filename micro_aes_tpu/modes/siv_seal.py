@@ -60,19 +60,26 @@ def _stream_words(n_blocks: int) -> int:
     return w + (-w) % max(seal_word_align(), 32)
 
 
+def _siv_basew(tag_words, front: int):
+    """Lane-replicated counter base u32[1,128] for the SIV stream
+    kernels: lane 4jj+k = tag word k, with the stream-front offset
+    pre-subtracted from word 0 so counter(position p) = base + p."""
+    lane = jnp.arange(128, dtype=jnp.uint32)
+    base = tag_words[lane % 4][None, :]
+    return jnp.where(lane[None, :] % 4 == 0,
+                     base - jnp.uint32(front), base)
+
+
 def gcm_siv_ctr_stream(kp, tag_words, data_stream, front: int):
     """Pass 2 on the shared stream: CTR from tag words, data at stream
-    positions front..  Returns the processed stream (self-inverse)."""
-    from ..ops.pallas_seal import ctrw_fused_auto
+    positions front..  Returns the processed stream (self-inverse).
+    Counters are generated IN-KERNEL from the base (the v2 path
+    materialized a full [W,128] counter stream in HBM — one extra
+    write + read of the whole message)."""
+    from ..ops.pallas_seal import siv_ctrw_fused_auto
 
-    w = data_stream.shape[0]
-    lane = jnp.arange(128, dtype=jnp.uint32)
-    pos = 32 * jnp.arange(w, dtype=jnp.uint32)[:, None] + lane[None, :] // 4
-    base = tag_words[lane % 4][None, :]
-    # counter value for the block at stream position p is tag + (p-front)
-    ctrw = jnp.where(lane[None, :] % 4 == 0,
-                     base + pos - jnp.uint32(front), base)
-    return ctrw_fused_auto(kp.reshape(-1, 1), ctrw, data_stream)
+    return siv_ctrw_fused_auto(kp.reshape(-1, 1),
+                               _siv_basew(tag_words, front), data_stream)
 
 
 def polyval_stream(tables, w1t, data_stream, n: int):
@@ -83,12 +90,8 @@ def polyval_stream(tables, w1t, data_stream, n: int):
 
     w = data_stream.shape[0]
     front = 32 * w - (n + 1)
-    pv = np.zeros(32 * w, dtype=np.uint64)
-    pv[front:] = 1
-    ghm = np.zeros(w, np.uint32)
-    for j in range(32):
-        ghm |= (pv[j::32].astype(np.uint32) << j)
-    s1t = ghash1_fused_auto(jnp.asarray(ghm[None, :]), w1t, data_stream)
+    s1t = ghash1_fused_auto(jnp.asarray(_ghm_mask(w, front, 32 * w)),
+                            w1t, data_stream)
     chunk2 = tables[1].shape[0] // 128
     s2 = _gf2_matmul_i8(
         jnp.transpose(s1t).reshape(w // chunk2, chunk2 * 128), tables[1])
@@ -96,8 +99,41 @@ def polyval_stream(tables, w1t, data_stream, n: int):
     return bits_to_blocks(acc)
 
 
+def _ghm_mask(w: int, lo: int, hi: int) -> np.ndarray:
+    """u32[1, W] kernel mask with stream positions [lo, hi) valid."""
+    pv = np.zeros(32 * w, dtype=np.uint64)
+    pv[lo:hi] = 1
+    ghm = np.zeros(w, np.uint32)
+    for j in range(32):
+        ghm |= (pv[j::32].astype(np.uint32) << j)
+    return ghm[None, :]
+
+
+def _siv_open_stream(kp, tag_words, tables, w1t, ct_stream, n: int):
+    """Fused open pass + tag math: returns (pt stream, pv block)."""
+    from ..ops.gf128 import blocks_to_bits
+    from ..ops.pallas_seal import siv_open_fused_auto
+
+    w = ct_stream.shape[0]
+    front = 32 * w - (n + 1)
+    ghm = jnp.asarray(_ghm_mask(w, front, 32 * w - 1))  # message only
+    ptw, s1t = siv_open_fused_auto(kp.reshape(-1, 1),
+                                   _siv_basew(tag_words, front),
+                                   ghm, w1t, ct_stream)
+    chunk2 = tables[1].shape[0] // 128
+    s2 = _gf2_matmul_i8(
+        jnp.transpose(s1t).reshape(w // chunk2, chunk2 * 128), tables[1])
+    acc = combine_levels(s2.astype(jnp.int8), tables)
+    # the len block sits at the last stream position => exponent M^1
+    len_bits = blocks_to_bits(jnp.asarray(_len_block_le(n))[None, :])
+    corr = _gf2_matmul_i8(len_bits.astype(jnp.int8),
+                          jnp.transpose(tables[3].astype(jnp.int8)))[0]
+    return ptw, bits_to_blocks(acc ^ corr.astype(jnp.uint8))
+
+
 _polyval_stream_jit = jax.jit(polyval_stream, static_argnames=("n",))
 _siv_ctr_jit = jax.jit(gcm_siv_ctr_stream, static_argnames=("front",))
+_siv_open_jit = jax.jit(_siv_open_stream, static_argnames=("n",))
 
 
 def _tag_from_pv(msg_key: bytes, nonce: bytes, pv: np.ndarray) -> np.ndarray:
@@ -165,13 +201,14 @@ def gcm_siv_open(key, nonce, ct_and_tag) -> bytes:
     front = 32 * w - (n + 1)
     base = tag.copy()
     base[15] |= 0x80
-    ptw = _siv_ctr_jit(kp, jnp.asarray(base.copy().view(np.uint32)),
-                       jnp.asarray(host_stream(ct, front, w)), front)
-    # place the len block at the last stream position, then POLYVAL
-    lbw = jnp.asarray(_len_block_le(n).view(np.uint32))
-    ptw = ptw.at[w - 1, 124:128].set(lbw)
-    pv = np.asarray(_polyval_stream_jit(tables, w1t, ptw, n))
-    expect = _tag_from_pv(msg_key, nonce, pv)
+    # ONE fused pass: decrypt (in-kernel LE32 counters from the received
+    # tag) + POLYVAL level-1 of the recovered plaintext; the len block
+    # (exponent M^1 — the last stream position) folds into the combined
+    # accumulator afterwards.
+    ptw, pv = _siv_open_jit(kp, jnp.asarray(base.copy().view(np.uint32)),
+                            tables, w1t, jnp.asarray(host_stream(ct, front, w)),
+                            n)
+    expect = _tag_from_pv(msg_key, nonce, np.asarray(pv))
     if not verify_tag(expect, tag):
         raise AuthenticationError("GCM-SIV tag mismatch")
     return host_unstream(np.asarray(ptw), front, len(ct))

@@ -521,6 +521,146 @@ def ghash1_fused_auto(ghm, w1t, x_words):
     return fn(ghm, w1t, x_words)
 
 
+# ---------------------------------------------------------------------------
+# GCM-SIV stream kernels: LE32 counters generated IN-KERNEL from the tag
+# base (micro_aes.c:935-938 convention — only word 0 counts, mod 2^32, no
+# carry).  basew u32[1, 128] is the tag lane-replicated (lane 4jj+k =
+# word k) with the stream-front offset PRE-SUBTRACTED from word 0, so the
+# counter for stream position p is simply base + p.  This removes the
+# [W, 128] counter stream the v2 path materialized in HBM (one full
+# extra write + read per pass); the open kernel additionally folds the
+# POLYVAL level-1 of its OUTPUT (the recovered plaintext) in VMEM, so
+# GCM-SIV open is ONE pass with GCM-seal-class traffic.
+# ---------------------------------------------------------------------------
+
+
+def _siv_ctr_tile(tile: int, row0, basew):
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (tile, 128), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.uint32, (tile, 128), 1)
+    pos = 32 * (rows + row0) + lanes // 4
+    base = jnp.broadcast_to(basew[0:1, :], (tile, 128))
+    return jnp.where(lanes % 4 == 0, base + pos, base)
+
+
+def _siv_ctr_kernel(rounds: int, kp_ref, basew_ref, ptw_ref, ctw_ref):
+    tile = ptw_ref.shape[0]
+    row0 = jnp.uint32(pl.program_id(0) * tile)
+    ctrw = _siv_ctr_tile(tile, row0, basew_ref[:])
+    out128 = _ctrw_math(rounds, kp_ref, jnp.transpose(ctrw),
+                        jnp.transpose(ptw_ref[:]), False)
+    ctw_ref[:] = jnp.transpose(out128)
+
+
+@jax.jit
+def siv_ctrw_fused(kp_flat, basew, pt_words):
+    """GCM-SIV CTR pass (seal direction): keystream from in-kernel LE32
+    counters xored onto the stream.  basew u32[1,128] = lane-replicated
+    tag words, word 0 pre-shifted by -front."""
+    rounds = kp_flat.shape[0] // 128 - 1
+    w = pt_words.shape[0]
+    assert w % SEAL_TILE_W == 0
+    return pl.pallas_call(
+        functools.partial(_siv_ctr_kernel, rounds),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((w, 128), jnp.uint32),
+        grid=(w // SEAL_TILE_W,),
+        in_specs=[
+            pl.BlockSpec((kp_flat.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(_kp_rm(kp_flat), basew, pt_words)
+
+
+def _siv_open_kernel(rounds: int, kp_ref, basew_ref, ghm_ref, w1t_ref,
+                     ptw_ref, ctw_ref, s1_ref):
+    tile = ptw_ref.shape[0]
+    row0 = jnp.uint32(pl.program_id(0) * tile)
+    ctrw = _siv_ctr_tile(tile, row0, basew_ref[:])
+    p = _blocks_to_rm_planes(jnp.transpose(ctrw))
+    p = _cipher_rounds(rounds, kp_ref, p)
+    out128, pt_planes = _xor_stream(p, jnp.transpose(ptw_ref[:]), False)
+    ctw_ref[:] = jnp.transpose(out128)
+    s1_ref[:] = _ghash_level1(pt_planes, ghm_ref[0:1, :], w1t_ref[:])
+
+
+@jax.jit
+def siv_open_fused(kp_flat, basew, ghm, w1t, ct_words):
+    """Fused GCM-SIV open: decrypt (LE32 counters from the received tag)
+    AND fold the POLYVAL level-1 of the recovered PLAINTEXT in one VMEM
+    pass.  Returns (pt_words, s1 int8[128, W]).  The length block is NOT
+    in the stream — mask it out of ghm and fold bits(len)·M_H into the
+    combined accumulator outside (its exponent is M^1: W1 row-block j
+    carries (M^(32-j))^T, so the last stream position always lands on
+    M^1)."""
+    rounds = kp_flat.shape[0] // 128 - 1
+    w = ct_words.shape[0]
+    assert w % SEAL_TILE_W == 0
+    return pl.pallas_call(
+        functools.partial(_siv_open_kernel, rounds),
+        interpret=_interpret(),
+        out_shape=(jax.ShapeDtypeStruct((w, 128), jnp.uint32),
+                   jax.ShapeDtypeStruct((128, w), jnp.int8)),
+        grid=(w // SEAL_TILE_W,),
+        in_specs=[
+            pl.BlockSpec((kp_flat.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SEAL_TILE_W), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 4096), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+    )(_kp_rm(kp_flat), basew, ghm, w1t, ct_words)
+
+
+def _siv_ctrw_stream(basew, w: int):
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (w, 128), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.uint32, (w, 128), 1)
+    pos = 32 * rows + lanes // 4
+    base = jnp.broadcast_to(basew[0:1, :], (w, 128))
+    return jnp.where(lanes % 4 == 0, base + pos, base)
+
+
+@jax.jit
+def siv_ctrw_fused_jnp(kp_flat, basew, pt_words):
+    """jnp twin of siv_ctrw_fused."""
+    w = pt_words.shape[0]
+    return ctrw_fused_jnp(kp_flat, _siv_ctrw_stream(basew, w), pt_words)
+
+
+@jax.jit
+def siv_open_fused_jnp(kp_flat, basew, ghm, w1t, ct_words):
+    """jnp twin of siv_open_fused."""
+    w = ct_words.shape[0]
+    out = ctrw_fused_jnp(kp_flat, _siv_ctrw_stream(basew, w), ct_words)
+    return out, ghash1_fused_jnp(ghm, w1t, out)
+
+
+def siv_ctrw_fused_auto(kp_flat, basew, pt_words):
+    fn = (siv_ctrw_fused if jax.default_backend() == "tpu"
+          else siv_ctrw_fused_jnp)
+    return fn(kp_flat, basew, pt_words)
+
+
+def siv_open_fused_auto(kp_flat, basew, ghm, w1t, ct_words):
+    fn = (siv_open_fused if jax.default_backend() == "tpu"
+          else siv_open_fused_jnp)
+    return fn(kp_flat, basew, ghm, w1t, ct_words)
+
+
 def _ocb_offsets(nbits: int, row0, tile: int, d0l, lbl):
     """OCB Δ-offsets as a [TILE, 128] u32 stream tile: block index
     i = 32*(row0+row) + lane//4 + 1, Δ_i = Δ_0 ^ XOR over set bits b of
