@@ -503,11 +503,58 @@ def bench_mesh():
               efficiency_vs_sp1=round(per_chip / base_rate, 3),
               backend=jax.default_backend())
 
+    # second mesh engine (VERDICT r2 item 5): dp-sharded disk-sector XTS
+    from micro_aes_tpu.core.bitslice import key_planes
+    from micro_aes_tpu.core.keyschedule import expand_key
+    from micro_aes_tpu.parallel.batch import xts_sectors_sharded_fn
+
+    kp1 = jnp.asarray(key_planes(expand_key(bytes(range(16)))))
+    kp2 = jnp.asarray(key_planes(expand_key(bytes(range(16, 32)))))
+    sectors_per_shard, r = 256, 8           # 256 x 4 KiB per device
+    base_rate = None
+    for dp in (1, 2, 4, 8):
+        if dp > ndev:
+            break
+        mesh = make_mesh(dp, 1)
+        s = dp * sectors_per_shard
+        tweaks = np.zeros((s, 16), np.uint8)
+        tweaks[:, :4] = np.arange(s, dtype=np.uint32)[:, None].view(
+            np.uint8).reshape(s, 4)
+        seal = xts_sectors_sharded_fn(mesh, r_per_sector=r)
+        pt0 = jnp.zeros((s * r, 128), jnp.uint32)
+        twj = jnp.asarray(tweaks)
+        seal(kp1, kp2, twj, pt0).block_until_ready()
+        ts = []
+        for k in range(3):
+            pv = pt0 + np.uint32(k + 1)
+            pv.block_until_ready()
+            t0 = time.time()
+            seal(kp1, kp2, twj, pv).block_until_ready()
+            ts.append(time.time() - t0)
+        dt = sorted(ts)[1]
+        nbytes = s * r * 128 * 4
+        rate = nbytes / dt
+        per_chip = rate / dp
+        if base_rate is None:
+            base_rate = per_chip
+        _emit("dp-sharded XTS sectors (weak scaling)", rate,
+              unit="bytes/s", dp=dp,
+              gb_per_s_per_chip=round(per_chip / 1e9, 3),
+              efficiency_vs_dp1=round(per_chip / base_rate, 3),
+              backend=jax.default_backend())
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--mesh", action="store_true",
                         help="run the sharded scaling harness instead")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the 8-virtual-device CPU backend (env "
+                             "vars are too late: sitecustomize imports jax "
+                             "at startup, so JAX_PLATFORMS=cpu on the "
+                             "command line is ignored — this flag flips "
+                             "the live config the way tests/conftest.py "
+                             "does)")
     parser.add_argument("--trace", metavar="DIR", default=None,
                         help="capture a jax.profiler device trace of the "
                              "benched kernels into DIR (view with "
@@ -526,6 +573,17 @@ def main(argv=None):
                                  "eax-batch", "ccm-batch-dev", "eax-batch-dev",
                                  "cipher"])
     args = parser.parse_args(argv)
+    if args.cpu:
+        import os
+
+        import jax
+
+        _flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in _flags:
+            # backends init lazily, so this is still early enough
+            os.environ["XLA_FLAGS"] = (
+                _flags + " --xla_force_host_platform_device_count=8").strip()
+        jax.config.update("jax_platforms", "cpu")
     run = bench_mesh if args.mesh else (lambda: bench_modes(set(args.modes)))
     if args.trace:
         import jax
