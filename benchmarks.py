@@ -265,6 +265,21 @@ def bench_modes(selected):
         _emit("FF1 encrypt (10k tokens, digits len16)",
               ntok / sorted(ts)[1], unit="tokens/s")
 
+        # the zero-string bulk path (uint8 digit matrices end-to-end)
+        from micro_aes_tpu.fpe.device import fpe_encrypt_digits
+
+        for nd in (10_000, 100_000):
+            dmat = rng.integers(0, 10, (nd, 16), dtype=np.uint8)
+            fpe_encrypt_digits(key16, b"\x01\x02", dmat, 10, "ff1")
+            ts = []
+            for k in range(3):
+                dv = (dmat + k + 1) % 10
+                t0 = time.time()
+                fpe_encrypt_digits(key16, b"\x01\x02", dv, 10, "ff1")
+                ts.append(time.time() - t0)
+            _emit(f"FF1 encrypt digits-array ({nd // 1000}k x len16)",
+                  nd / sorted(ts)[1], unit="tokens/s")
+
     if "ccm-batch" in selected or "eax-batch" in selected:
         # END-TO-END wall time of the device-resident batch engines
         # (host glue + one upload + folds + keystream + one download);

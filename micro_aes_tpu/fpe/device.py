@@ -202,7 +202,9 @@ def _ff1_device(rks, kp, tweaks, x, radix: int, n: int, t: int,
 
     # A round PAIR restores the (u, v) half shapes, so fori_loop over 5
     # double-rounds traces the body once (vs 10 unrolled rounds).
-    a, bb = x[:, :u], x[:, u:]
+    # int32 carries keep the fori_loop dtype-stable whatever x's dtype
+    # (uint8 on the wire; the carry scans produce int32).
+    a, bb = x[:, :u].astype(jnp.int32), x[:, u:].astype(jnp.int32)
     if encrypt:
         def dbl(j, st):
             a, bb = enc_round(*st, u, 2 * j)
@@ -212,7 +214,9 @@ def _ff1_device(rks, kp, tweaks, x, radix: int, n: int, t: int,
             a, bb = dec_round(*st, v, 9 - 2 * j)
             return dec_round(a, bb, u, 8 - 2 * j)
     a, bb = jax.lax.fori_loop(0, 5, dbl, (a, bb))
-    return jnp.concatenate([a, bb], axis=1)
+    # digits < radix <= 256: uint8 on the wire (the tunnel/PCIe transfer
+    # of the result is 4x smaller than the int32 carry-scan output)
+    return jnp.concatenate([a, bb], axis=1).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +257,7 @@ def _ff3_device(rks_rev, kp_rev, tl, tr, x, radix: int, n: int,
         return _carry_scan(bb.astype(jnp.int32) - yacc, radix), a
 
     # fori_loop over double-rounds: shapes are (u, v)-periodic (see FF1)
-    a, bb = x[:, :u], x[:, u:]
+    a, bb = x[:, :u].astype(jnp.int32), x[:, u:].astype(jnp.int32)
     if encrypt:
         def dbl(j, st):
             a, bb = enc_round(*st, u, True, 2 * j)
@@ -263,7 +267,7 @@ def _ff3_device(rks_rev, kp_rev, tl, tr, x, radix: int, n: int,
             a, bb = dec_round(*st, v, False, 7 - 2 * j)
             return dec_round(a, bb, u, True, 6 - 2 * j)
     a, bb = jax.lax.fori_loop(0, 4, dbl, (a, bb))
-    return jnp.concatenate([a, bb], axis=1)
+    return jnp.concatenate([a, bb], axis=1).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +303,65 @@ def _ascii_luts(chars: str):
         enc[ord(c)] = i
     dec = np.frombuffer(chars.encode("ascii"), np.uint8)
     return enc, dec
+
+
+def _dispatch_digits(key: bytes, tweak: bytes, x: np.ndarray, radix: int,
+                     n: int, method: str, encrypt: bool) -> np.ndarray:
+    """One device dispatch over a digit matrix: pad the batch to a 32
+    multiple (the PRF then rides the bitsliced plane cipher, ~10x the
+    gather oracle on TPU), ship uint8 digits (radix <= 256), return
+    uint8 digits."""
+    b = x.shape[0]
+    bp = b + ((-b) % 32)
+    xu = np.ascontiguousarray(x, np.uint8)
+    if bp != b:
+        xu = np.concatenate([xu, np.broadcast_to(xu[:1], (bp - b, n))])
+    bitslice = _use_bitslice()
+    if method == "ff1":
+        tw = np.broadcast_to(np.frombuffer(tweak, np.uint8),
+                             (bp, len(tweak)))
+        res = _ff1_device(_rks(key), _kp(key), jnp.asarray(tw),
+                          jnp.asarray(xu), radix, n, len(tweak),
+                          encrypt, bitslice)
+    elif method in ("ff3", "ff3-1"):
+        tl, tr = _split_tweak(tweak)
+        rkey = bytes(reversed(key))
+        tlb = np.broadcast_to(np.frombuffer(tl, np.uint8), (bp, 4))
+        trb = np.broadcast_to(np.frombuffer(tr, np.uint8), (bp, 4))
+        res = _ff3_device(_rks(rkey), _kp(rkey), jnp.asarray(tlb),
+                          jnp.asarray(trb), jnp.asarray(xu),
+                          radix, n, encrypt, bitslice)
+    else:
+        raise ValueError(f"unknown FPE method {method!r}")
+    return np.asarray(res)[:b]
+
+
+def fpe_encrypt_digits(key, tweak, digits: np.ndarray, radix: int,
+                       method: str = "ff1") -> np.ndarray:
+    """Zero-string bulk FPE: encrypt a uint8[B, n] digit matrix (values
+    in [0, radix)) in one device dispatch.  This is the production bulk
+    path — the string APIs (fpe_encrypt_batch) cost a per-token Python
+    boundary the reference's char* interface forces (micro_aes.c:
+    2287-2303) but an array interface does not."""
+    d = np.asarray(digits)
+    if d.ndim != 2:
+        raise EncryptionError("digits must be a [B, n] matrix")
+    if not 2 <= radix <= MAX_DEVICE_RADIX:
+        raise EncryptionError(f"radix {radix} outside device range")
+    return _dispatch_digits(bytes(key), bytes(tweak) if tweak else b"",
+                            d, radix, d.shape[1], method.lower(), True)
+
+
+def fpe_decrypt_digits(key, tweak, digits: np.ndarray, radix: int,
+                       method: str = "ff1") -> np.ndarray:
+    """Inverse of fpe_encrypt_digits."""
+    d = np.asarray(digits)
+    if d.ndim != 2:
+        raise DecryptionError("digits must be a [B, n] matrix")
+    if not 2 <= radix <= MAX_DEVICE_RADIX:
+        raise DecryptionError(f"radix {radix} outside device range")
+    return _dispatch_digits(bytes(key), bytes(tweak) if tweak else b"",
+                            d, radix, d.shape[1], method.lower(), False)
 
 
 def _fpe_batch(key, tweak, tokens, alphabet, method: str,
@@ -340,30 +403,8 @@ def _fpe_batch(key, tweak, tokens, alphabet, method: str,
                                np.int32)
             except EncryptionError:
                 raise err("invalid character for alphabet")
-        # pad the batch to a 32 multiple: the PRF then rides the
-        # bitsliced plane cipher (~10x the gather oracle on TPU)
-        bp = len(idxs) + ((-len(idxs)) % 32)
-        if bp != len(idxs):
-            x = np.concatenate([x, np.broadcast_to(x[:1],
-                                                   (bp - len(idxs), n))])
-        bitslice = _use_bitslice()
-        if method == "ff1":
-            tw = np.broadcast_to(np.frombuffer(tweak, np.uint8),
-                                 (bp, len(tweak)))
-            res = _ff1_device(_rks(key), _kp(key), jnp.asarray(tw),
-                              jnp.asarray(x), alpha.radix, n, len(tweak),
-                              encrypt, bitslice)
-        elif method in ("ff3", "ff3-1"):
-            tl, tr = _split_tweak(tweak)
-            rkey = bytes(reversed(key))
-            tlb = np.broadcast_to(np.frombuffer(tl, np.uint8), (bp, 4))
-            trb = np.broadcast_to(np.frombuffer(tr, np.uint8), (bp, 4))
-            res = _ff3_device(_rks(rkey), _kp(rkey), jnp.asarray(tlb),
-                              jnp.asarray(trb), jnp.asarray(x),
-                              alpha.radix, n, encrypt, bitslice)
-        else:
-            raise ValueError(f"unknown FPE method {method!r}")
-        res = np.asarray(res)[: len(idxs)]
+        res = _dispatch_digits(key, tweak, x, alpha.radix, n, method,
+                               encrypt)[: len(idxs)]
         if luts is not None:
             flat = luts[1][res.reshape(-1)].tobytes().decode("ascii")
             for k, i in enumerate(idxs):

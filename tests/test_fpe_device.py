@@ -121,3 +121,31 @@ def test_device_mixed_lengths_one_call():
     exp = [fpe_encrypt(key, b"tweak", t, "digits", "ff1") for t in toks]
     assert out == exp
     assert fpe_decrypt_batch(key, b"tweak", out, "digits", "ff1") == toks
+
+
+def test_digit_array_api_matches_string_batch():
+    """fpe_{en,de}crypt_digits (the zero-string bulk path) agree with the
+    string batch API and round-trip, including a non-32-aligned batch."""
+    from micro_aes_tpu.fpe.device import fpe_decrypt_digits, fpe_encrypt_digits
+
+    key = kat.CIPHER_KEY[:16]
+    tweak = b"\x01\x02"
+    rng = np.random.default_rng(23)
+    d = rng.integers(0, 10, (37, 16), dtype=np.uint8)
+    toks = ["".join("0123456789"[v] for v in row) for row in d]
+    ct = fpe_encrypt_digits(key, tweak, d, 10, "ff1")
+    assert ct.dtype == np.uint8 and ct.shape == d.shape
+    want = fpe_encrypt_batch(key, tweak, toks, "digits", "ff1")
+    assert ["".join("0123456789"[v] for v in row) for row in ct] == want
+    back = fpe_decrypt_digits(key, tweak, ct, 10, "ff1")
+    assert np.array_equal(back, d)
+
+
+def test_digit_array_api_validation():
+    from micro_aes_tpu.fpe.device import fpe_encrypt_digits
+
+    key = kat.CIPHER_KEY[:16]
+    with pytest.raises(EncryptionError):
+        fpe_encrypt_digits(key, b"", np.zeros(16, np.uint8), 10)  # not 2-D
+    with pytest.raises(EncryptionError):
+        fpe_encrypt_digits(key, b"", np.zeros((4, 16), np.uint8), 1000)
