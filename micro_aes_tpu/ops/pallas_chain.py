@@ -26,16 +26,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import numpy as np
+
 from ..core.bitslice import sbox_planes
-from ..core.cipher import SHIFT_PERM
-from .pallas_cipher import _mix_columns, _permute_rows
+from .pallas_seal import _RM, _mix_columns_rm, _shift_rows_rm
 
 # steps per kernel segment: x/y segments are [SEG*128, 128] u32 (4 MB
 # each) + ~1 MB of key planes — inside the ~16 MB VMEM budget.  Tile
 # width stays 128: wider tiles measured NO gain (2.42 vs 2.61 GB/s at
-# 512 — the serial chain is latency-bound on the round circuit's
-# dependency depth, not op width) and at W=2048 XLA places the full
-# outputs in scoped VMEM and OOMs.
+# 512 — the serial chain is bound by in-kernel instruction issue, not
+# op width) and at W=2048 XLA places the full outputs in scoped VMEM
+# and OOMs.
 CHAIN_SEG = 64
 
 
@@ -55,15 +56,39 @@ def _kpw_slice(kpw_ref, r: int, b: int):
     return kpw_ref[base: base + 16, :]
 
 
+# The kernels run entirely in the seal kernel's ROW-MAJOR row layout
+# (rm = 4*row + col): ShiftRows is three 4-row group rolls and
+# MixColumns' row selections are full 16-row rolls, replacing the 8
+# general 16-row gathers per plane per round of the position layout.
+# All pos<->rm conversion happens OUTSIDE the kernel as one XLA row
+# gather over the whole stream, so the per-step loop has zero permutes.
+# Measured A/B on v5e (4096 msgs x 4 KiB CBC): 2.56 -> 2.57 GB/s — flat,
+# unlike the parallel seal kernel where this layout bought ~45%.  Two
+# more levers also measured flat here (2-way ILP half-tile interleave
+# +2%; tile 512 no gain), so the serial chain's bound is neither row
+# permutes, dependency latency, nor op width — the remaining suspect is
+# in-loop register pressure from the 8-plane circuit's live set.  The
+# layout is kept for parity with pallas_seal, not for speed.
+_RM_ROWS = np.arange(8)[:, None] * 16 + _RM[None, :]  # [8,16] plane rows
+
+
+def _to_rm(planes2):
+    """Row-gather a [N*128, W] stacked-plane array pos->rm (involution:
+    the same gather maps rm->pos)."""
+    n = planes2.shape[0] // 128
+    idx = (np.arange(n)[:, None, None] * 128 + _RM_ROWS[None]).reshape(-1)
+    return planes2[idx]
+
+
 def _cipher_lanekeys(rounds: int, kpw_ref, p):
-    """Bitsliced encrypt of 8 [16, TILE] position-layout planes with
-    per-lane keys."""
+    """Bitsliced encrypt of 8 [16, TILE] rm-layout planes with per-lane
+    keys (kpw rows pre-permuted to rm by the host wrappers)."""
     p = [p[b] ^ _kpw_slice(kpw_ref, 0, b) for b in range(8)]
     for r in range(1, rounds + 1):
         p = sbox_planes(p, True)
-        p = [_permute_rows(x, SHIFT_PERM) for x in p]
+        p = [_shift_rows_rm(x) for x in p]
         if r != rounds:
-            p = _mix_columns(p)
+            p = _mix_columns_rm(p)
         p = [p[b] ^ _kpw_slice(kpw_ref, r, b) for b in range(8)]
     return p
 
@@ -128,9 +153,9 @@ def chain_fused(kind: str, kpw, carry0, x):
     rounds = kpw.shape[0] - 1
     tile = _tile_for(w)
     seg = CHAIN_SEG
-    kpw2 = kpw.reshape(-1, w)
-    c2 = carry0.reshape(128, w)
-    x2 = x.reshape(nb * 128, w)
+    kpw2 = _to_rm(kpw.reshape(-1, w))
+    c2 = _to_rm(carry0.reshape(128, w))
+    x2 = _to_rm(x.reshape(nb * 128, w))
     ys = []
     i = 0
     while i < nb:
@@ -141,7 +166,8 @@ def chain_fused(kind: str, kpw, carry0, x):
         ys.append(y)
         i += nsteps
     out = jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0]
-    return out.reshape(nb, 8, 16, w), c2.reshape(8, 16, w)
+    return (_to_rm(out).reshape(nb, 8, 16, w),
+            _to_rm(c2).reshape(8, 16, w))
 
 
 def _ofb_kernel(rounds: int, nsteps: int, kpw_ref, c_ref, y_ref, co_ref):
@@ -194,8 +220,8 @@ def ofb_packed_fused(kpw, ivs, nb: int):
     w = b // 32
     rounds = kpw.shape[0] - 1
     tile = _tile_for(w)
-    kpw2 = kpw.reshape(-1, w)
-    c2 = pack_planes(ivs).reshape(128, w)
+    kpw2 = _to_rm(kpw.reshape(-1, w))
+    c2 = _to_rm(pack_planes(ivs).reshape(128, w))
     ys = []
     i = 0
     while i < nb:
@@ -205,7 +231,7 @@ def ofb_packed_fused(kpw, ivs, nb: int):
         i += nsteps
     out = jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0]
     return jax.vmap(lambda p: unpack_planes(p, b), out_axes=1)(
-        out.reshape(nb, 8, 16, w))
+        _to_rm(out).reshape(nb, 8, 16, w))
 
 
 def _cbcmac_kernel(rounds: int, nsteps: int, kpw_ref, c_ref, x_ref,
@@ -263,9 +289,10 @@ def cbcmac_packed_fused(kpw, init, blocks, nvalid):
     w = b // 32
     rounds = kpw.shape[0] - 1
     tile = _tile_for(w)
-    kpw2 = kpw.reshape(-1, w)
-    c2 = pack_planes(init).reshape(128, w)
-    x2 = jax.vmap(pack_planes, in_axes=1)(blocks).reshape(nb * 128, w)
+    kpw2 = _to_rm(kpw.reshape(-1, w))
+    c2 = _to_rm(pack_planes(init).reshape(128, w))
+    x2 = _to_rm(
+        jax.vmap(pack_planes, in_axes=1)(blocks).reshape(nb * 128, w))
     lanes = nvalid.astype(jnp.int32).reshape(w, 32)
     steps = jnp.arange(nb, dtype=jnp.int32)
     bits = (steps[:, None, None] < lanes[None, :, :]).astype(jnp.uint32)
@@ -279,7 +306,7 @@ def cbcmac_packed_fused(kpw, init, blocks, nvalid):
                                        ((i + nsteps) * 128, w)),
                          jax.lax.slice(masks, (i, 0), (i + nsteps, w)))
         i += nsteps
-    return unpack_planes(c2.reshape(8, 16, w), b)
+    return unpack_planes(_to_rm(c2).reshape(8, 16, w), b)
 
 
 @functools.partial(jax.jit, static_argnames=("kind",))
