@@ -195,6 +195,18 @@ def main() -> int:
     check("device FF1 round-trip",
           fpe_decrypt_batch(key16, b"\x01\x02", enc, "digits", "ff1") == toks)
 
+    from micro_aes_tpu.fpe.device import fpe_decrypt_digits, fpe_encrypt_digits
+
+    dmat = rng.integers(0, 10, (64, 16), dtype=np.uint8)
+    dct = fpe_encrypt_digits(key16, b"\x01\x02", dmat, 10, "ff1")
+    dtoks = ["".join("0123456789"[v] for v in row) for row in dmat]
+    check("digit-array FF1 == string batch",
+          ["".join("0123456789"[v] for v in row) for row in dct]
+          == fpe_encrypt_batch(key16, b"\x01\x02", dtoks, "digits", "ff1"))
+    check("digit-array FF1 round-trip",
+          np.array_equal(fpe_decrypt_digits(key16, b"\x01\x02", dct, 10,
+                                            "ff1"), dmat))
+
     n_fail = sum(1 for _, ok in results if not ok)
     print(json.dumps({"selftest": "done", "backend": "tpu",
                       "passed": len(results) - n_fail, "failed": n_fail}))
