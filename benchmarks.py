@@ -235,6 +235,19 @@ def bench_modes(selected):
         _emit("AES-128-GCM multi-key seal (64 keys x 16 KB)",
               _marginal_rate(loop_of(step), ptwk, bk * mb))
 
+        # same engine off the timing floor: 64 tenants x 256 KB (16 MB)
+        mb2 = 262144
+        args2 = _prep(mkeys, mnonces, [b"hdr"] * bk, [bytes(mb2)] * bk)
+        bb2, wmk2 = args2[0], args2[1]
+        kp2s, j0w2, front2, mask2, sel2, lb2, ptw2 = args2[5:12]
+
+        def step2(c):
+            o, t = _seal_batch_core(kp2s, j0w2, front2, mask2, sel2,
+                                    lb2, c, bb2, wmk2)
+            return o
+        _emit("AES-128-GCM multi-key seal (64 keys x 256 KB)",
+              _marginal_rate(loop_of(step2), ptw2, bk * mb2))
+
     if "poly1305" in selected:
         r = 0x0ffffffc0ffffffc0ffffffc0fffffff & int.from_bytes(
             bytes(range(16)), "little")
