@@ -1,21 +1,43 @@
-"""Pallas TPU chain kernels: CBC/CFB encrypt + OFB keystream with the
-loop-carried block dependency INSIDE the kernel.
+"""Pallas TPU chain kernels: CBC/CFB encrypt + OFB keystream + masked
+CBC-MAC with the loop-carried block dependency INSIDE the kernel.
 
 The XLA scan form of the lane-packed chain engines (modes/_scan.
 *_scan_packed) round-trips the carry and per-step planes through HBM on
 every block step — each step is a tiny dispatch and the chip idles
-between them.  Here the serial loop runs inside the kernel: the carry
-planes stay in VMEM across all steps of a segment, so HBM traffic is
-one read of the input planes + one write of the outputs per segment.
+between them.  Here the serial loop is the PALLAS GRID: one grid step
+per chain block, with the carry planes held in a VMEM scratch buffer
+that persists across the (sequential) grid iterations, and the per-step
+input/output blocks pipelined automatically by Pallas.
+
+Two structural choices matter enormously (round-3 A/B on v5e, 4096 msgs
+x 4 KiB AES-256-CBC, marginal rates; the old forms are in git history):
+
+1. Grid-over-steps vs in-kernel fori_loop.  The first in-kernel form ran
+   the chain as a `fori_loop` over dynamic `pl.ds` slices of whole-
+   segment refs; Mosaic generated ~20x slower code for that body than
+   for the identical circuit as a straight-line grid-step kernel
+   (2.58 -> 51.6 GB/s kernel-level, with a no-carry control at 50.7 —
+   the serial dependency itself costs nothing).
+
+2. In-kernel byte<->plane butterflies vs XLA pack_planes around the
+   kernel.  Bitslicing the data stream with core.bitslice.pack_planes /
+   unpack_planes OUTSIDE the kernel capped the end-to-end rate at
+   ~2.6 GB/s no matter how fast the kernel got; the kernels therefore
+   take the data as LITTLE-ENDIAN WORD STREAMS (u32[nb, 128, W], row
+   4j+k = word k of the lane-j message block — the seal kernels' stream
+   layout) and run the 32x32 bit-transpose butterflies in VMEM, exactly
+   like ops/pallas_seal._xor_stream.  The only XLA-side work per call is
+   a bitcast + transpose of whole u32 words.
 
 Layout is the lane-packed multikey form (32 messages per uint32 word,
 per-lane round keys from core.bitslice.key_planes_packed): within one
 message the chain is strictly serial (SURVEY §3.2), across messages the
-word lanes carry the parallelism.
+word lanes carry the parallelism.  The cipher runs in the seal kernel's
+row-major row layout (rm = 4*row + col).
 
 Parity: CBC chain micro_aes.c:712-717, CFB c:799-817 (mode=1), OFB
-c:872-876.  Bit-equality with the scan twins is pinned by
-tests/test_chain_bulk.py (interpret mode off-TPU).
+c:872-876, xMac fold c:551-571.  Bit-equality with the scan twins is
+pinned by tests/test_chain_bulk.py (interpret mode off-TPU).
 """
 from __future__ import annotations
 
@@ -29,14 +51,17 @@ from jax.experimental.pallas import tpu as pltpu
 import numpy as np
 
 from ..core.bitslice import sbox_planes
-from .pallas_seal import _RM, _mix_columns_rm, _shift_rows_rm
+from .pallas_seal import (
+    _RM,
+    _blocks_to_rm_planes,
+    _butterfly_rows,
+    _mix_columns_rm,
+    _shift_rows_rm,
+)
 
-# steps per kernel segment: x/y segments are [SEG*128, 128] u32 (4 MB
-# each) + ~1 MB of key planes — inside the ~16 MB VMEM budget.  Tile
-# width stays 128: wider tiles measured NO gain (2.42 vs 2.61 GB/s at
-# 512 — the serial chain is bound by in-kernel instruction issue, not
-# op width) and at W=2048 XLA places the full outputs in scoped VMEM
-# and OOMs.
+# Historical in-kernel segment length of the old fori_loop form; the
+# grid kernels have no segment boundary, but tests still use nb values
+# straddling this count to pin the (former) boundary case.
 CHAIN_SEG = 64
 
 
@@ -56,19 +81,6 @@ def _kpw_slice(kpw_ref, r: int, b: int):
     return kpw_ref[base: base + 16, :]
 
 
-# The kernels run entirely in the seal kernel's ROW-MAJOR row layout
-# (rm = 4*row + col): ShiftRows is three 4-row group rolls and
-# MixColumns' row selections are full 16-row rolls, replacing the 8
-# general 16-row gathers per plane per round of the position layout.
-# All pos<->rm conversion happens OUTSIDE the kernel as one XLA row
-# gather over the whole stream, so the per-step loop has zero permutes.
-# Measured A/B on v5e (4096 msgs x 4 KiB CBC): 2.56 -> 2.57 GB/s — flat,
-# unlike the parallel seal kernel where this layout bought ~45%.  Two
-# more levers also measured flat here (2-way ILP half-tile interleave
-# +2%; tile 512 no gain), so the serial chain's bound is neither row
-# permutes, dependency latency, nor op width — the remaining suspect is
-# in-loop register pressure from the 8-plane circuit's live set.  The
-# layout is kept for parity with pallas_seal, not for speed.
 _RM_ROWS = np.arange(8)[:, None] * 16 + _RM[None, :]  # [8,16] plane rows
 
 
@@ -93,120 +105,138 @@ def _cipher_lanekeys(rounds: int, kpw_ref, p):
     return p
 
 
+def _rm_planes_to_stream(p):
+    """Butterfly 8 rm-layout [16, TILE] planes back into a [128, TILE]
+    word-stream tile (inverse of pallas_seal._blocks_to_rm_planes; the
+    32x32 bit transpose is an involution)."""
+    out_rows = [None] * 128
+    for k in range(4):
+        rows = [p[r % 8][int(_RM[4 * k + r // 8]):
+                         int(_RM[4 * k + r // 8]) + 1, :]
+                for r in range(32)]
+        back = _butterfly_rows(rows)
+        for j in range(32):
+            out_rows[4 * j + k] = back[j]
+    return jnp.concatenate(out_rows, axis=0)
+
+
+def _to_wordstream(blocks):
+    """uint8[B, nb, 16] -> u32[nb, 128, W] stream tiles (row 4j+k = LE
+    word k of the block of message 32w+j — matching the lane order of
+    core.bitslice.key_planes_packed).  Pure u32 data movement; the bit
+    transposes happen in-kernel."""
+    b, nb, _ = blocks.shape
+    w = b // 32
+    words = jax.lax.bitcast_convert_type(
+        blocks.reshape(b, nb, 4, 4), jnp.uint32)  # [B, nb, 4] LE words
+    return words.reshape(w, 32, nb, 4).transpose(2, 1, 3, 0).reshape(
+        nb, 128, w)
+
+
+def _from_wordstream(stream):
+    """u32[nb, 128, W] -> uint8[B, nb, 16] (inverse of _to_wordstream)."""
+    nb, _, w = stream.shape
+    y = stream.reshape(nb, 32, 4, w).transpose(3, 1, 0, 2)  # [W,32,nb,4]
+    y8 = jax.lax.bitcast_convert_type(
+        y.reshape(w * 32, nb, 4), jnp.uint8)  # [B, nb, 4, 4]
+    return y8.reshape(w * 32, nb, 16)
+
+
 def _chain_kernel(kind: str, rounds: int, nsteps: int, kpw_ref, c_ref,
-                  x_ref, y_ref, co_ref):
-    def body(i, carry):
-        x = x_ref[pl.ds(i * 128, 128), :]
-        xp = [x[b * 16:(b + 1) * 16, :] for b in range(8)]
-        if kind == "cbc":      # y = E(carry ^ x); carry = y   (c:712-717)
-            out = _cipher_lanekeys(
-                rounds, kpw_ref, [carry[b] ^ xp[b] for b in range(8)])
-        elif kind == "cfb":    # y = E(carry) ^ x; carry = y   (c:808-814)
-            ks = _cipher_lanekeys(rounds, kpw_ref, list(carry))
-            out = [ks[b] ^ xp[b] for b in range(8)]
-        else:                  # ofb: y = E(carry); carry = y  (c:872-876)
-            out = _cipher_lanekeys(rounds, kpw_ref, list(carry))
-        y_ref[pl.ds(i * 128, 128), :] = jnp.concatenate(out, axis=0)
-        return tuple(out)
+                  x_ref, y_ref, co_ref, carry_ref):
+    """One grid step = one chain block.  carry_ref (VMEM scratch, rm
+    plane rows) persists across the sequential grid; grid dim 0 walks
+    word tiles, dim 1 walks chain steps, so each tile's steps run
+    consecutively."""
+    step = pl.program_id(1)
 
-    carry0 = tuple(c_ref[b * 16:(b + 1) * 16, :] for b in range(8))
-    carry = jax.lax.fori_loop(0, nsteps, body, carry0)
-    co_ref[:] = jnp.concatenate(list(carry), axis=0)
+    @pl.when(step == 0)
+    def _():
+        carry_ref[:] = c_ref[:]
 
+    cf = carry_ref[:]
+    carry = [cf[b * 16:(b + 1) * 16, :] for b in range(8)]
+    x128 = x_ref[0]
+    if kind == "cbc":      # y = E(carry ^ x); carry = y   (c:712-717)
+        xp = _blocks_to_rm_planes(x128)
+        out = _cipher_lanekeys(
+            rounds, kpw_ref, [carry[b] ^ xp[b] for b in range(8)])
+    elif kind == "cfb":    # y = E(carry) ^ x; carry = y   (c:808-814)
+        ks = _cipher_lanekeys(rounds, kpw_ref, carry)
+        xp = _blocks_to_rm_planes(x128)
+        out = [ks[b] ^ xp[b] for b in range(8)]
+    else:                  # ofb: y = E(carry); carry = y  (c:872-876)
+        out = _cipher_lanekeys(rounds, kpw_ref, carry)
+    y_ref[0] = _rm_planes_to_stream(out)
+    carry_ref[:] = jnp.concatenate(out, axis=0)
 
-def _chain_seg(kind: str, rounds: int, nsteps: int, tile: int,
-               kpw2, c2, x2):
-    w = x2.shape[-1]
-    return pl.pallas_call(
-        functools.partial(_chain_kernel, kind, rounds, nsteps),
-        interpret=_interpret(),
-        out_shape=(
-            jax.ShapeDtypeStruct((nsteps * 128, w), jnp.uint32),
-            jax.ShapeDtypeStruct((128, w), jnp.uint32),
-        ),
-        grid=(w // tile,),
-        in_specs=[
-            pl.BlockSpec((kpw2.shape[0], tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsteps * 128, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((nsteps * 128, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-    )(kpw2, c2, x2)
+    @pl.when(step == nsteps - 1)
+    def _():
+        co_ref[:] = carry_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("kind",))
-def chain_fused(kind: str, kpw, carry0, x):
-    """kpw uint32[R+1,8,16,W] (key_planes_packed), carry0 uint32[8,16,W],
-    x uint32[nb,8,16,W] -> (y uint32[nb,8,16,W], carry uint32[8,16,W]).
-    Each grid tile's 32-message lanes are independent chains; segments
-    of CHAIN_SEG steps bound VMEM, with the carry threaded between
-    segment calls (W*512 B — ~3% of a segment's data)."""
-    nb, _, _, w = x.shape
+def chain_packed_fused(kind: str, kpw, ivs, blocks):
+    """Lane-packed serial chains over B independent messages, matching
+    the modes/_scan.*_scan_packed contract: kpw uint32[R+1,8,16,W]
+    (key_planes_packed), ivs uint8[B,16], blocks uint8[B,nb,16]
+    (contents ignored for OFB), B % 32 == 0 -> uint8[B,nb,16]."""
+    from ..core.bitslice import pack_planes
+
+    b, nb = blocks.shape[0], blocks.shape[1]
+    w = b // 32
     rounds = kpw.shape[0] - 1
     tile = _tile_for(w)
-    seg = CHAIN_SEG
     kpw2 = _to_rm(kpw.reshape(-1, w))
-    c2 = _to_rm(carry0.reshape(128, w))
-    x2 = _to_rm(x.reshape(nb * 128, w))
-    ys = []
-    i = 0
-    while i < nb:
-        nsteps = min(seg, nb - i)
-        y, c2 = _chain_seg(kind, rounds, nsteps, tile, kpw2, c2,
-                           jax.lax.slice(x2, (i * 128, 0),
-                                         ((i + nsteps) * 128, w)))
-        ys.append(y)
-        i += nsteps
-    out = jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0]
-    return (_to_rm(out).reshape(nb, 8, 16, w),
-            _to_rm(c2).reshape(8, 16, w))
-
-
-def _ofb_kernel(rounds: int, nsteps: int, kpw_ref, c_ref, y_ref, co_ref):
-    """OFB keystream (y = E(carry); carry = y, micro_aes.c:872-876):
-    no data operand at all — the x input the general chain kernel DMAs
-    per segment would be pure wasted HBM traffic here."""
-    def body(i, carry):
-        out = _cipher_lanekeys(rounds, kpw_ref, list(carry))
-        y_ref[pl.ds(i * 128, 128), :] = jnp.concatenate(out, axis=0)
-        return tuple(out)
-
-    carry0 = tuple(c_ref[b * 16:(b + 1) * 16, :] for b in range(8))
-    carry = jax.lax.fori_loop(0, nsteps, body, carry0)
-    co_ref[:] = jnp.concatenate(list(carry), axis=0)
-
-
-def _ofb_seg(rounds: int, nsteps: int, tile: int, kpw2, c2):
-    w = c2.shape[-1]
-    return pl.pallas_call(
-        functools.partial(_ofb_kernel, rounds, nsteps),
+    c2 = _to_rm(pack_planes(ivs).reshape(128, w))
+    x = _to_wordstream(blocks)
+    y, _co = pl.pallas_call(
+        functools.partial(_chain_kernel, kind, rounds, nb),
         interpret=_interpret(),
         out_shape=(
-            jax.ShapeDtypeStruct((nsteps * 128, w), jnp.uint32),
+            jax.ShapeDtypeStruct((nb, 128, w), jnp.uint32),
             jax.ShapeDtypeStruct((128, w), jnp.uint32),
         ),
-        grid=(w // tile,),
+        grid=(w // tile, nb),
         in_specs=[
-            pl.BlockSpec((kpw2.shape[0], tile), lambda i: (0, i),
+            pl.BlockSpec((kpw2.shape[0], tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, tile), lambda i: (0, i),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((nsteps * 128, tile), lambda i: (0, i),
+            pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, tile), lambda i: (0, i),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ),
-    )(kpw2, c2)
+        scratch_shapes=[pltpu.VMEM((128, tile), jnp.uint32)],
+    )(kpw2, c2, x)
+    return _from_wordstream(y)
+
+
+def _ofb_kernel(rounds: int, nsteps: int, kpw_ref, c_ref, y_ref, co_ref,
+                carry_ref):
+    """OFB keystream (y = E(carry); carry = y, micro_aes.c:872-876):
+    no data operand at all — a data input would be pure wasted HBM
+    traffic here."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[:] = c_ref[:]
+
+    cf = carry_ref[:]
+    out = _cipher_lanekeys(
+        rounds, kpw_ref, [cf[b * 16:(b + 1) * 16, :] for b in range(8)])
+    y_ref[0] = _rm_planes_to_stream(out)
+    carry_ref[:] = jnp.concatenate(out, axis=0)
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        co_ref[:] = carry_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("nb",))
@@ -214,7 +244,7 @@ def ofb_packed_fused(kpw, ivs, nb: int):
     """Lane-packed OFB keystreams, VMEM-resident: ivs uint8[B,16],
     B % 32 == 0 -> uint8[B,nb,16] of keystream blocks (no data operand;
     callers xor host-side or on device)."""
-    from ..core.bitslice import pack_planes, unpack_planes
+    from ..core.bitslice import pack_planes
 
     b = ivs.shape[0]
     w = b // 32
@@ -222,58 +252,55 @@ def ofb_packed_fused(kpw, ivs, nb: int):
     tile = _tile_for(w)
     kpw2 = _to_rm(kpw.reshape(-1, w))
     c2 = _to_rm(pack_planes(ivs).reshape(128, w))
-    ys = []
-    i = 0
-    while i < nb:
-        nsteps = min(CHAIN_SEG, nb - i)
-        y, c2 = _ofb_seg(rounds, nsteps, tile, kpw2, c2)
-        ys.append(y)
-        i += nsteps
-    out = jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0]
-    return jax.vmap(lambda p: unpack_planes(p, b), out_axes=1)(
-        _to_rm(out).reshape(nb, 8, 16, w))
+    y, _co = pl.pallas_call(
+        functools.partial(_ofb_kernel, rounds, nb),
+        interpret=_interpret(),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 128, w), jnp.uint32),
+            jax.ShapeDtypeStruct((128, w), jnp.uint32),
+        ),
+        grid=(w // tile, nb),
+        in_specs=[
+            pl.BlockSpec((kpw2.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((128, tile), jnp.uint32)],
+    )(kpw2, c2)
+    return _from_wordstream(y)
 
 
 def _cbcmac_kernel(rounds: int, nsteps: int, kpw_ref, c_ref, x_ref,
-                   m_ref, co_ref):
+                   m_ref, co_ref, carry_ref):
     """Masked CBC-MAC fold (xMac with mix = cipher, micro_aes.c:551-571):
     a CBC chain that keeps only the final carry; steps at or beyond a
     lane's nvalid keep its accumulator (mask bit j of m_ref[i, w] =
     step i valid for the message in lane j of word w)."""
-    def body(i, carry):
-        x = x_ref[pl.ds(i * 128, 128), :]
-        m2 = _cipher_lanekeys(
-            rounds, kpw_ref,
-            [carry[b] ^ x[b * 16:(b + 1) * 16, :] for b in range(8)])
-        mask = m_ref[pl.ds(i, 1), :]  # [1, TILE], broadcasts over rows
-        return tuple(carry[b] ^ (mask & (m2[b] ^ carry[b]))
-                     for b in range(8))
+    step = pl.program_id(1)
 
-    carry0 = tuple(c_ref[b * 16:(b + 1) * 16, :] for b in range(8))
-    carry = jax.lax.fori_loop(0, nsteps, body, carry0)
-    co_ref[:] = jnp.concatenate(list(carry), axis=0)
+    @pl.when(step == 0)
+    def _():
+        carry_ref[:] = c_ref[:]
 
+    cf = carry_ref[:]
+    carry = [cf[b * 16:(b + 1) * 16, :] for b in range(8)]
+    xp = _blocks_to_rm_planes(x_ref[0])
+    m2 = _cipher_lanekeys(
+        rounds, kpw_ref, [carry[b] ^ xp[b] for b in range(8)])
+    mask = m_ref[pl.ds(step, 1), :]  # [1, TILE], broadcasts over rows
+    carry_ref[:] = jnp.concatenate(
+        [carry[b] ^ (mask & (m2[b] ^ carry[b])) for b in range(8)], axis=0)
 
-def _cbcmac_seg(rounds: int, nsteps: int, tile: int, kpw2, c2, x2, m2):
-    w = x2.shape[-1]
-    return pl.pallas_call(
-        functools.partial(_cbcmac_kernel, rounds, nsteps),
-        interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct((128, w), jnp.uint32),
-        grid=(w // tile,),
-        in_specs=[
-            pl.BlockSpec((kpw2.shape[0], tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsteps * 128, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsteps, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((128, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-    )(kpw2, c2, x2, m2)
+    @pl.when(step == nsteps - 1)
+    def _():
+        co_ref[:] = carry_ref[:]
 
 
 @jax.jit
@@ -291,32 +318,32 @@ def cbcmac_packed_fused(kpw, init, blocks, nvalid):
     tile = _tile_for(w)
     kpw2 = _to_rm(kpw.reshape(-1, w))
     c2 = _to_rm(pack_planes(init).reshape(128, w))
-    x2 = _to_rm(
-        jax.vmap(pack_planes, in_axes=1)(blocks).reshape(nb * 128, w))
+    x = _to_wordstream(blocks)
     lanes = nvalid.astype(jnp.int32).reshape(w, 32)
     steps = jnp.arange(nb, dtype=jnp.int32)
     bits = (steps[:, None, None] < lanes[None, :, :]).astype(jnp.uint32)
     masks = jnp.sum(bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :],
                     axis=-1, dtype=jnp.uint32)  # [nb, W]
-    i = 0
-    while i < nb:
-        nsteps = min(CHAIN_SEG, nb - i)
-        c2 = _cbcmac_seg(rounds, nsteps, tile, kpw2, c2,
-                         jax.lax.slice(x2, (i * 128, 0),
-                                       ((i + nsteps) * 128, w)),
-                         jax.lax.slice(masks, (i, 0), (i + nsteps, w)))
-        i += nsteps
-    return unpack_planes(_to_rm(c2).reshape(8, 16, w), b)
-
-
-@functools.partial(jax.jit, static_argnames=("kind",))
-def chain_packed_fused(kind: str, kpw, ivs, blocks):
-    """uint8-level wrapper matching the modes/_scan.*_scan_packed
-    contract: ivs uint8[B,16], blocks uint8[B,nb,16] (contents ignored
-    for OFB), B % 32 == 0 -> uint8[B,nb,16]."""
-    from ..core.bitslice import pack_planes, unpack_planes
-
-    b = ivs.shape[0]
-    x = jax.vmap(pack_planes, in_axes=1)(blocks)
-    y, _ = chain_fused(kind, kpw, pack_planes(ivs), x)
-    return jax.vmap(lambda p: unpack_planes(p, b), out_axes=1)(y)
+    co = pl.pallas_call(
+        functools.partial(_cbcmac_kernel, rounds, nb),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((128, w), jnp.uint32),
+        grid=(w // tile, nb),
+        in_specs=[
+            pl.BlockSpec((kpw2.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            # whole mask resident per tile (nb x tile x 4 B), row-sliced
+            # by program_id in-kernel: a (1, tile) per-step block violates
+            # the TPU block-shape divisibility rule for nb not % 8
+            pl.BlockSpec((masks.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((128, tile), jnp.uint32)],
+    )(kpw2, c2, x, masks)
+    return unpack_planes(_to_rm(co).reshape(8, 16, w), b)
