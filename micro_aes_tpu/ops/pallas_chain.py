@@ -54,15 +54,15 @@ from ..core.bitslice import sbox_planes
 from .pallas_seal import (
     _RM,
     _blocks_to_rm_planes,
-    _butterfly_rows,
     _mix_columns_rm,
+    _rm_planes_to_stream,
     _shift_rows_rm,
 )
 
-# Historical in-kernel segment length of the old fori_loop form; the
-# grid kernels have no segment boundary, but tests still use nb values
-# straddling this count to pin the (former) boundary case.
-CHAIN_SEG = 64
+# The carry scratch is only correct if the grid executes sequentially in
+# row-major order; pin that explicitly rather than relying on Mosaic's
+# default (megacore partitioning must not split the step axis).
+_SEQ2 = pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary"))
 
 
 def _tile_for(w: int) -> int:
@@ -105,21 +105,6 @@ def _cipher_lanekeys(rounds: int, kpw_ref, p):
     return p
 
 
-def _rm_planes_to_stream(p):
-    """Butterfly 8 rm-layout [16, TILE] planes back into a [128, TILE]
-    word-stream tile (inverse of pallas_seal._blocks_to_rm_planes; the
-    32x32 bit transpose is an involution)."""
-    out_rows = [None] * 128
-    for k in range(4):
-        rows = [p[r % 8][int(_RM[4 * k + r // 8]):
-                         int(_RM[4 * k + r // 8]) + 1, :]
-                for r in range(32)]
-        back = _butterfly_rows(rows)
-        for j in range(32):
-            out_rows[4 * j + k] = back[j]
-    return jnp.concatenate(out_rows, axis=0)
-
-
 def _to_wordstream(blocks):
     """uint8[B, nb, 16] -> u32[nb, 128, W] stream tiles (row 4j+k = LE
     word k of the block of message 32w+j — matching the lane order of
@@ -142,8 +127,8 @@ def _from_wordstream(stream):
     return y8.reshape(w * 32, nb, 16)
 
 
-def _chain_kernel(kind: str, rounds: int, nsteps: int, kpw_ref, c_ref,
-                  x_ref, y_ref, co_ref, carry_ref):
+def _chain_kernel(kind: str, rounds: int, kpw_ref, c_ref,
+                  x_ref, y_ref, carry_ref):
     """One grid step = one chain block.  carry_ref (VMEM scratch, rm
     plane rows) persists across the sequential grid; grid dim 0 walks
     word tiles, dim 1 walks chain steps, so each tile's steps run
@@ -170,10 +155,6 @@ def _chain_kernel(kind: str, rounds: int, nsteps: int, kpw_ref, c_ref,
     y_ref[0] = _rm_planes_to_stream(out)
     carry_ref[:] = jnp.concatenate(out, axis=0)
 
-    @pl.when(step == nsteps - 1)
-    def _():
-        co_ref[:] = carry_ref[:]
-
 
 @functools.partial(jax.jit, static_argnames=("kind",))
 def chain_packed_fused(kind: str, kpw, ivs, blocks):
@@ -190,13 +171,10 @@ def chain_packed_fused(kind: str, kpw, ivs, blocks):
     kpw2 = _to_rm(kpw.reshape(-1, w))
     c2 = _to_rm(pack_planes(ivs).reshape(128, w))
     x = _to_wordstream(blocks)
-    y, _co = pl.pallas_call(
-        functools.partial(_chain_kernel, kind, rounds, nb),
+    y = pl.pallas_call(
+        functools.partial(_chain_kernel, kind, rounds),
         interpret=_interpret(),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, 128, w), jnp.uint32),
-            jax.ShapeDtypeStruct((128, w), jnp.uint32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((nb, 128, w), jnp.uint32),
         grid=(w // tile, nb),
         in_specs=[
             pl.BlockSpec((kpw2.shape[0], tile), lambda i, j: (0, i),
@@ -206,19 +184,15 @@ def chain_packed_fused(kind: str, kpw, ivs, blocks):
             pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, tile), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((128, tile), jnp.uint32)],
+        compiler_params=_SEQ2,
     )(kpw2, c2, x)
     return _from_wordstream(y)
 
 
-def _ofb_kernel(rounds: int, nsteps: int, kpw_ref, c_ref, y_ref, co_ref,
-                carry_ref):
+def _ofb_kernel(rounds: int, kpw_ref, c_ref, y_ref, carry_ref):
     """OFB keystream (y = E(carry); carry = y, micro_aes.c:872-876):
     no data operand at all — a data input would be pure wasted HBM
     traffic here."""
@@ -234,10 +208,6 @@ def _ofb_kernel(rounds: int, nsteps: int, kpw_ref, c_ref, y_ref, co_ref,
     y_ref[0] = _rm_planes_to_stream(out)
     carry_ref[:] = jnp.concatenate(out, axis=0)
 
-    @pl.when(step == nsteps - 1)
-    def _():
-        co_ref[:] = carry_ref[:]
-
 
 @functools.partial(jax.jit, static_argnames=("nb",))
 def ofb_packed_fused(kpw, ivs, nb: int):
@@ -252,13 +222,10 @@ def ofb_packed_fused(kpw, ivs, nb: int):
     tile = _tile_for(w)
     kpw2 = _to_rm(kpw.reshape(-1, w))
     c2 = _to_rm(pack_planes(ivs).reshape(128, w))
-    y, _co = pl.pallas_call(
-        functools.partial(_ofb_kernel, rounds, nb),
+    y = pl.pallas_call(
+        functools.partial(_ofb_kernel, rounds),
         interpret=_interpret(),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, 128, w), jnp.uint32),
-            jax.ShapeDtypeStruct((128, w), jnp.uint32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((nb, 128, w), jnp.uint32),
         grid=(w // tile, nb),
         in_specs=[
             pl.BlockSpec((kpw2.shape[0], tile), lambda i, j: (0, i),
@@ -266,13 +233,10 @@ def ofb_packed_fused(kpw, ivs, nb: int):
             pl.BlockSpec((128, tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, tile), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((128, tile), jnp.uint32)],
+        compiler_params=_SEQ2,
     )(kpw2, c2)
     return _from_wordstream(y)
 
@@ -345,5 +309,6 @@ def cbcmac_packed_fused(kpw, init, blocks, nvalid):
         out_specs=pl.BlockSpec((128, tile), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((128, tile), jnp.uint32)],
+        compiler_params=_SEQ2,
     )(kpw2, c2, x, masks)
     return unpack_planes(_to_rm(co).reshape(8, 16, w), b)

@@ -181,6 +181,28 @@ def _kp_rm(kp_flat):
     return kp_flat.reshape(nr, 8, 16)[:, :, _RM].reshape(-1, 1)
 
 
+def _rm_plane_bit_rows(p, k: int):
+    """Bit rows r = 0..31 of stream word k, extracted from 8 rm-layout
+    [16, TILE] planes: bit r of word k is bit plane r % 8 at byte
+    position 4k + r//8 (whose rm row is _RM[...]).  The single home of
+    this bit-layout invariant — _xor_stream and _rm_planes_to_stream
+    both index through it."""
+    return [p[r % 8][int(_RM[4 * k + r // 8]): int(_RM[4 * k + r // 8]) + 1, :]
+            for r in range(32)]
+
+
+def _rm_planes_to_stream(p):
+    """Butterfly 8 rm-layout [16, TILE] planes into a [128, TILE]
+    word-stream tile (inverse of _blocks_to_rm_planes; the 32x32 bit
+    transpose is an involution)."""
+    out_rows = [None] * 128
+    for k in range(4):
+        back = _butterfly_rows(_rm_plane_bit_rows(p, k))
+        for j in range(32):
+            out_rows[4 * j + k] = back[j]
+    return jnp.concatenate(out_rows, axis=0)
+
+
 def _xor_stream(p, x128, keep_input_bits: bool):
     """Butterfly input words into bit planes, xor the keystream planes,
     butterfly back.  x128 is [128, TILE] u32 with row 4j+k = word k of
@@ -193,8 +215,7 @@ def _xor_stream(p, x128, keep_input_bits: bool):
     for k in range(4):
         rows = [x128[4 * j + k: 4 * j + k + 1, :] for j in range(32)]
         tr = _butterfly_rows(rows)  # tr[r] = plane of bit r of word k
-        ks = [p[r % 8][int(_RM[4 * k + r // 8]): int(_RM[4 * k + r // 8]) + 1, :]
-              for r in range(32)]
+        ks = _rm_plane_bit_rows(p, k)
         out_bits = [tr[r] ^ ks[r] for r in range(32)]  # each [1, TILE]
         ct_planes.append(tr if keep_input_bits else out_bits)
         back = _butterfly_rows(out_bits)
