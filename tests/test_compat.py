@@ -1,6 +1,9 @@
 """C-style compat layer: names, conventions and numeric codes."""
 from micro_aes_tpu import compat
 from micro_aes_tpu.testing import kat
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_error_code_values():

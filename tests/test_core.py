@@ -10,6 +10,9 @@ from micro_aes_tpu.core import (
 )
 from micro_aes_tpu.testing import kat
 from micro_aes_tpu.utils.bytesio import from_blocks, to_blocks
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _enc1(key: bytes, pt: bytes) -> bytes:

@@ -112,6 +112,7 @@ def test_sharded_fused_seal_and_open(dp, sp, use_aad):
     assert np.array_equal(np.asarray(tag2), tag)
 
 
+@pytest.mark.quick
 def test_seal_kernel_interpret_matches_jnp_twin():
     """The actual Pallas kernel (interpret mode off-TPU) against the jnp
     twin: same math module, different lowering — must be bit-identical.
@@ -197,6 +198,7 @@ def test_xex_kernel_interpret_matches_jnp_twin():
         assert np.array_equal(k, j), f"decrypt={dec}"
 
 
+@pytest.mark.quick
 def test_ghash1_kernel_interpret_matches_jnp_twin():
     """ghash1_fused (MAC-only level-1 kernel: GCM-SIV POLYVAL pass) vs
     its jnp twin on one tile with a random validity mask."""

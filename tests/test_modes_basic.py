@@ -12,6 +12,8 @@ from micro_aes_tpu.modes.ofb import ofb_decrypt, ofb_encrypt
 from micro_aes_tpu.modes.xts import xts_decrypt, xts_encrypt
 from micro_aes_tpu.testing import kat
 
+pytestmark = pytest.mark.quick
+
 KEY128 = kat.CIPHER_KEY[:16]
 KEY256 = kat.CIPHER_KEY
 IV = kat.IVEC

@@ -9,6 +9,8 @@ from micro_aes_tpu.core.keyschedule import expand_key
 from micro_aes_tpu import native
 from micro_aes_tpu.testing import kat
 
+pytestmark = pytest.mark.quick
+
 
 def test_native_available():
     assert native.available(), "g++ toolchain expected in this environment"

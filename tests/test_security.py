@@ -7,6 +7,8 @@ import micro_aes_tpu as aes
 from micro_aes_tpu.errors import AuthenticationError, DataLengthError
 from micro_aes_tpu.utils.bytesio import verify_tag
 
+pytestmark = pytest.mark.quick
+
 
 class TestVerifyTag:
     def test_equal(self):
