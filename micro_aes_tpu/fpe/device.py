@@ -149,10 +149,49 @@ def _num_bytes(h, radix: int, nbytes: int, msd_first: bool):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("radix", "n", "t", "encrypt", "bitslice"))
-def _ff1_device(rks, kp, tweaks, x, radix: int, n: int, t: int,
-                encrypt: bool, bitslice: bool):
+def _wire_packed(radix: int) -> bool:
+    """radix <= 16 digit matrices travel 2 digits/byte: the tunnel (or
+    PCIe) bytes halve in BOTH directions, and the pack/unpack is a shift
+    and a mask on either end.  Radix 10 — the reference's default
+    alphabet (micro_aes.c:2008-2013) and the production-credential
+    shape — qualifies."""
+    return radix <= 16
+
+
+def _unpack_nibbles_j(xw, n: int):
+    """uint8[B, ceil(n/2)] LE-nibble wire -> int32[B, n] digits."""
+    lo = (xw & 0xF).astype(jnp.int32)
+    hi = (xw >> 4).astype(jnp.int32)
+    d = jnp.stack([lo, hi], axis=-1).reshape(xw.shape[0], -1)
+    return d[:, :n]
+
+
+def _pack_nibbles_j(d):
+    """int32[B, n] digits (< 16) -> uint8[B, ceil(n/2)] LE-nibble wire."""
+    n = d.shape[1]
+    if n % 2:
+        d = jnp.pad(d, ((0, 0), (0, 1)))
+    dd = d.astype(jnp.uint8).reshape(d.shape[0], -1, 2)
+    return dd[..., 0] | (dd[..., 1] << 4)
+
+
+def _pack_nibbles_np(x: np.ndarray) -> np.ndarray:
+    n = x.shape[1]
+    if n % 2:
+        x = np.concatenate([x, np.zeros((x.shape[0], 1), np.uint8)], axis=1)
+    xx = x.reshape(x.shape[0], -1, 2)
+    return xx[..., 0] | (xx[..., 1] << 4)
+
+
+def _unpack_nibbles_np(xw: np.ndarray, n: int) -> np.ndarray:
+    d = np.empty((xw.shape[0], xw.shape[1] * 2), np.uint8)
+    d[:, 0::2] = xw & 0xF
+    d[:, 1::2] = xw >> 4
+    return d[:, :n]
+
+
+def _ff1_core(rks, kp, tweak1, x, radix: int, n: int, t: int,
+              encrypt: bool, bitslice: bool):
     u = n // 2
     v = n - u
     b = (math.ceil(v * math.log2(radix)) + 7) // 8
@@ -160,6 +199,12 @@ def _ff1_device(rks, kp, tweaks, x, radix: int, n: int, t: int,
     qpad = (-t - b - 1) % 16
     nq = (t + qpad + 1 + b) // 16
     B = x.shape[0]
+    # one tweak serves the whole batch: broadcast on DEVICE (shipping a
+    # [B, t] host broadcast through the tunnel cost more than the digits
+    # themselves at t >= n/2)
+    tweaks = jnp.broadcast_to(tweak1[None, :], (B, t))
+    if _wire_packed(radix):
+        x = _unpack_nibbles_j(x, n)
 
     p_blk = np.frombuffer(
         bytes([1, 2, 1]) + radix.to_bytes(3, "big") + bytes([10, u % 256])
@@ -214,9 +259,31 @@ def _ff1_device(rks, kp, tweaks, x, radix: int, n: int, t: int,
             a, bb = dec_round(*st, v, 9 - 2 * j)
             return dec_round(a, bb, u, 8 - 2 * j)
     a, bb = jax.lax.fori_loop(0, 5, dbl, (a, bb))
+    out = jnp.concatenate([a, bb], axis=1)
+    if _wire_packed(radix):
+        return _pack_nibbles_j(out)
     # digits < radix <= 256: uint8 on the wire (the tunnel/PCIe transfer
     # of the result is 4x smaller than the int32 carry-scan output)
-    return jnp.concatenate([a, bb], axis=1).astype(jnp.uint8)
+    return out.astype(jnp.uint8)
+
+
+_ff1_device = jax.jit(_ff1_core, static_argnames=(
+    "radix", "n", "t", "encrypt", "bitslice"))
+
+
+@functools.partial(jax.jit, static_argnames=("radix", "n", "t", "encrypt",
+                                             "bitslice"))
+def _ff1_device_chunked(rks, kp, tweak1, x3, radix: int, n: int, t: int,
+                        encrypt: bool, bitslice: bool):
+    """x3 [nch, CHUNK, wire]: lax.map over fixed-size chunks — the body
+    traces/compiles ONCE at the chunk shape (a single flat dispatch at
+    B=100k compiled pathologically slowly), and the whole batch still
+    moves in ONE upload + dispatch + download (each API round-trip costs
+    ~25-40 ms of fixed latency through the remote tunnel — more than the
+    Feistel compute itself)."""
+    return jax.lax.map(
+        lambda c: _ff1_core(rks, kp, tweak1, c, radix, n, t, encrypt,
+                            bitslice), x3)
 
 
 # ---------------------------------------------------------------------------
@@ -224,10 +291,8 @@ def _ff1_device(rks, kp, tweaks, x, radix: int, n: int, t: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("radix", "n", "encrypt", "bitslice"))
-def _ff3_device(rks_rev, kp_rev, tl, tr, x, radix: int, n: int,
-                encrypt: bool, bitslice: bool):
+def _ff3_core(rks_rev, kp_rev, tl1, tr1, x, radix: int, n: int,
+              encrypt: bool, bitslice: bool):
     """FF3 halves live MSD-first at the boundary but every NUM/STR in the
     spec reverses them first — NUM(REV(h)) = sum h[j]*radix^j, i.e. the
     boundary array read LSD-first.  So device-side the halves are used
@@ -235,6 +300,10 @@ def _ff3_device(rks_rev, kp_rev, tl, tr, x, radix: int, n: int,
     u, v = (n + 1) // 2, n - (n + 1) // 2
     B = x.shape[0]
     rev16 = jnp.arange(15, -1, -1)
+    tl = jnp.broadcast_to(tl1[None, :], (B, 4))  # device-side broadcast
+    tr = jnp.broadcast_to(tr1[None, :], (B, 4))
+    if _wire_packed(radix):
+        x = _unpack_nibbles_j(x, n)
 
     i_lane = (jnp.arange(4) == 3).astype(jnp.uint8)
 
@@ -267,7 +336,24 @@ def _ff3_device(rks_rev, kp_rev, tl, tr, x, radix: int, n: int,
             a, bb = dec_round(*st, v, False, 7 - 2 * j)
             return dec_round(a, bb, u, True, 6 - 2 * j)
     a, bb = jax.lax.fori_loop(0, 4, dbl, (a, bb))
-    return jnp.concatenate([a, bb], axis=1).astype(jnp.uint8)
+    out = jnp.concatenate([a, bb], axis=1)
+    if _wire_packed(radix):
+        return _pack_nibbles_j(out)
+    return out.astype(jnp.uint8)
+
+
+_ff3_device = jax.jit(_ff3_core, static_argnames=(
+    "radix", "n", "encrypt", "bitslice"))
+
+
+@functools.partial(jax.jit, static_argnames=("radix", "n", "encrypt",
+                                             "bitslice"))
+def _ff3_device_chunked(rks_rev, kp_rev, tl1, tr1, x3, radix: int, n: int,
+                        encrypt: bool, bitslice: bool):
+    """Chunked-in-one-dispatch FF3 (see _ff1_device_chunked)."""
+    return jax.lax.map(
+        lambda c: _ff3_core(rks_rev, kp_rev, tl1, tr1, c, radix, n,
+                            encrypt, bitslice), x3)
 
 
 # ---------------------------------------------------------------------------
@@ -305,35 +391,59 @@ def _ascii_luts(chars: str):
     return enc, dec
 
 
+# Batches above one chunk run as a lax.map over fixed-size chunks INSIDE
+# one jitted dispatch: one upload, one dispatch, one download (each API
+# round-trip costs ~25-40 ms fixed latency through the remote tunnel —
+# comparable to the whole Feistel compute), and the program compiles at
+# the chunk shape however large the batch is.
+FPE_CHUNK = 32768
+
+
 def _dispatch_digits(key: bytes, tweak: bytes, x: np.ndarray, radix: int,
                      n: int, method: str, encrypt: bool) -> np.ndarray:
-    """One device dispatch over a digit matrix: pad the batch to a 32
+    """Bulk device FPE over a digit matrix: pad the batch to a 32
     multiple (the PRF then rides the bitsliced plane cipher, ~10x the
-    gather oracle on TPU), ship uint8 digits (radix <= 256), return
-    uint8 digits."""
+    gather oracle on TPU), ship packed digits (2/byte for radix <= 16,
+    else 1/byte), one device dispatch regardless of batch size."""
     b = x.shape[0]
-    bp = b + ((-b) % 32)
-    xu = np.ascontiguousarray(x, np.uint8)
-    if bp != b:
-        xu = np.concatenate([xu, np.broadcast_to(xu[:1], (bp - b, n))])
     bitslice = _use_bitslice()
+    packed = _wire_packed(radix)
+    xu = np.ascontiguousarray(x, np.uint8)
+
     if method == "ff1":
-        tw = np.broadcast_to(np.frombuffer(tweak, np.uint8),
-                             (bp, len(tweak)))
-        res = _ff1_device(_rks(key), _kp(key), jnp.asarray(tw),
-                          jnp.asarray(xu), radix, n, len(tweak),
-                          encrypt, bitslice)
+        tw1 = jnp.asarray(np.frombuffer(tweak, np.uint8))
+        args = (_rks(key), _kp(key), tw1)
+        statics = (radix, n, len(tweak), encrypt, bitslice)
+        run, run_chunked = _ff1_device, _ff1_device_chunked
     elif method in ("ff3", "ff3-1"):
         tl, tr = _split_tweak(tweak)
         rkey = bytes(reversed(key))
-        tlb = np.broadcast_to(np.frombuffer(tl, np.uint8), (bp, 4))
-        trb = np.broadcast_to(np.frombuffer(tr, np.uint8), (bp, 4))
-        res = _ff3_device(_rks(rkey), _kp(rkey), jnp.asarray(tlb),
-                          jnp.asarray(trb), jnp.asarray(xu),
-                          radix, n, encrypt, bitslice)
+        tl1 = jnp.asarray(np.frombuffer(tl, np.uint8))
+        tr1 = jnp.asarray(np.frombuffer(tr, np.uint8))
+        args = (_rks(rkey), _kp(rkey), tl1, tr1)
+        statics = (radix, n, encrypt, bitslice)
+        run, run_chunked = _ff3_device, _ff3_device_chunked
     else:
         raise ValueError(f"unknown FPE method {method!r}")
-    return np.asarray(res)[:b]
+
+    if b > FPE_CHUNK:
+        nch = -(-b // FPE_CHUNK)
+        pad = nch * FPE_CHUNK - b
+        if pad:
+            xu = np.concatenate([xu, np.broadcast_to(xu[:1], (pad, n))])
+        wire = _pack_nibbles_np(xu) if packed else xu
+        w3 = wire.reshape(nch, FPE_CHUNK, wire.shape[1])
+        res = np.asarray(run_chunked(*args, jnp.asarray(w3), *statics))
+        res = res.reshape(nch * FPE_CHUNK, -1)
+    else:
+        bp = b + ((-b) % 32)
+        if bp != b:
+            xu = np.concatenate([xu, np.broadcast_to(xu[:1], (bp - b, n))])
+        wire = _pack_nibbles_np(xu) if packed else xu
+        res = np.asarray(run(*args, jnp.asarray(wire), *statics))
+    if packed:
+        return _unpack_nibbles_np(res[:b], n)
+    return res[:b]
 
 
 def fpe_encrypt_digits(key, tweak, digits: np.ndarray, radix: int,
