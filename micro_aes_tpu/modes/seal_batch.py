@@ -142,10 +142,16 @@ def _seal_batch_core(kp_stack, j0w, front, mask, sel, len_bits, ptw,
     m = _mh_batch(h_blocks)
     w1, w2, m_outer = _tables_batch(m)
 
-    in_bits = _stream_bits(ptw)
-    out_bits = _stream_bits(outw)
-    selc = sel[:, None]
-    bits = (in_bits * selc + out_bits * (1 - selc)) * mask[:, None]
+    # word-level select/mask BEFORE the bit expansion: sel/mask are
+    # per-block, so selecting u32 stream words (lane l = word l%4 of
+    # block 32*row + l//4) needs only a x4 lane repeat — this halves the
+    # GHASH-side HBM traffic vs expanding BOTH streams to bit rows and
+    # blending the 8x-larger int8 matrices (round-4 rework)
+    selr = jnp.repeat(sel.reshape(rows, 32), 4, axis=1)
+    maskr = jnp.repeat(mask.reshape(rows, 32), 4, axis=1)
+    wsel = jnp.where(selr != 0, ptw, outw)
+    wsel = jnp.where(maskr != 0, wsel, jnp.uint32(0))
+    bits = _stream_bits(wsel)
 
     s1 = jax.lax.dot_general(
         bits.reshape(b, wm, 32 * 128), w1,

@@ -29,11 +29,25 @@ from .pallas_seal import (
 
 def mk_window_words(nblocks: int) -> int:
     """Per-message window width (u32[*,128] rows of 32 blocks) the
-    multikey kernel's grid contract requires: ceil(nblocks/32) padded
-    to the Pallas tile width (or 8 for sub-tile windows).  THE single
-    definition — bulk.py and seal_batch.py must agree with the kernel."""
+    multikey kernel's grid contract requires: ceil(nblocks/32) padded to
+    a multiple of 8 (the u32 sublane tile).  THE single definition —
+    bulk.py and seal_batch.py must agree with the kernel.  Round 4:
+    windows above SEAL_TILE_W used to round up to a full tile multiple,
+    which padded a 513-row window (256 KB message) to 1024 rows — ~50%
+    wasted cipher work on exactly the serving shape the engine exists
+    for; the kernel now picks a divisor tile instead (mk_tile)."""
     wm = -(-nblocks // 32)
-    return wm + (-wm) % (SEAL_TILE_W if wm > SEAL_TILE_W else 8)
+    return wm + (-wm) % 8
+
+
+def mk_tile(wm: int) -> int:
+    """Largest row-tile that divides the window, is a multiple of 8, and
+    fits the Pallas tile budget."""
+    best = 8
+    for t in range(8, min(wm, SEAL_TILE_W) + 1, 8):
+        if wm % t == 0:
+            best = t
+    return best
 
 
 def _mk_kernel(rounds: int, decrypt: bool, kp_ref, ctrw_ref, ptw_ref,
@@ -56,8 +70,7 @@ def ctrw_fused_multikey(kp_stack, ctr_words, pt_words, b: int,
     rounds = n // 128 - 1
     w_total = pt_words.shape[0]
     wm = w_total // b
-    tile = min(wm, SEAL_TILE_W)
-    assert wm % tile == 0
+    tile = mk_tile(wm)
     tiles_per_msg = wm // tile
     return pl.pallas_call(
         functools.partial(_mk_kernel, rounds, decrypt),
