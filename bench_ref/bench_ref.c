@@ -113,5 +113,19 @@ int main(void)
                AES___ ? AES___ : 128, (double)reps / dt);
     }
 #endif
+#if FPE && FF_X == 3
+    {
+        /* FF3-1 over 16-digit decimal tokens (7-byte tweak arity) */
+        static char tok[17] = "0123456789012345", out[17];
+        double t0, dt; long reps = 0;
+        AES_FPE_encrypt(key, nonce, tok, 16, out);
+        t0 = now_s();
+        do { AES_FPE_encrypt(key, nonce, tok, 16, out); reps++; dt = now_s() - t0; }
+        while (dt < MIN_SECS);
+        printf("{\"mode\": \"FF3-1 encrypt (digits len16)\", \"key_bits\": %d, "
+               "\"value\": %.0f, \"unit\": \"tokens/s\"}\n",
+               AES___ ? AES___ : 128, (double)reps / dt);
+    }
+#endif
     return 0;
 }

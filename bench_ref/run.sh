@@ -14,5 +14,17 @@ sed 's/^#define AES___     128/#define AES___     256/' \
 cp "$REF/micro_fpe.h" /tmp/ref256/ 2>/dev/null || true
 gcc -O2 -I/tmp/ref256 bench_ref.c "$REF/micro_aes.c" -o /tmp/bench_ref_256
 gcc -O2 -I"$REF" bench_ref.c "$REF/micro_aes.c" -o /tmp/bench_ref_128
+# FF3-1 variants: FF_X is likewise hard-coded (1), so patch it the same way
+mkdir -p /tmp/ref128ff3 /tmp/ref256ff3
+sed 's/^#define FF_X            1/#define FF_X            3/' \
+    "$REF/micro_aes.h" > /tmp/ref128ff3/micro_aes.h
+sed 's/^#define FF_X            1/#define FF_X            3/' \
+    /tmp/ref256/micro_aes.h > /tmp/ref256ff3/micro_aes.h
+cp "$REF/micro_fpe.h" /tmp/ref128ff3/ 2>/dev/null || true
+cp "$REF/micro_fpe.h" /tmp/ref256ff3/ 2>/dev/null || true
+gcc -O2 -I/tmp/ref256ff3 bench_ref.c "$REF/micro_aes.c" -o /tmp/bench_ref_256f3
+gcc -O2 -I/tmp/ref128ff3 bench_ref.c "$REF/micro_aes.c" -o /tmp/bench_ref_128f3
 /tmp/bench_ref_256
 /tmp/bench_ref_128
+/tmp/bench_ref_256f3 | grep FF3 || true
+/tmp/bench_ref_128f3 | grep FF3 || true

@@ -216,37 +216,28 @@ def bench_modes(selected):
               _marginal_rate(loop_of(step), stream0, nbytes))
 
     if "gcm-multikey" in selected:
+        # FIXED-WORK methodology (VERDICT r3 item 4): both shapes move
+        # the same 16 MB total, so neither row sits on the dispatch
+        # floor and the per-tenant size is the only variable.
         from micro_aes_tpu.modes.seal_batch import _prep, _seal_batch_core
 
         rngk = np.random.default_rng(9)
-        bk, mb = 64, 16384  # 64 tenants x 16 KB
-        mkeys = [bytes(rngk.integers(0, 256, 16, dtype=np.uint8))
-                 for _ in range(bk)]
-        mnonces = [bytes(rngk.integers(0, 256, 12, dtype=np.uint8))
-                   for _ in range(bk)]
-        args = _prep(mkeys, mnonces, [b"hdr"] * bk, [bytes(mb)] * bk)
-        bb, wmk = args[0], args[1]
-        kp_stack, j0wk, frontk, maskk, selk, lbk, ptwk = args[5:12]
+        for bk, mb, label in ((1024, 16384, "1024 keys x 16 KB"),
+                              (64, 262144, "64 keys x 256 KB")):
+            mkeys = [bytes(rngk.integers(0, 256, 16, dtype=np.uint8))
+                     for _ in range(bk)]
+            mnonces = [bytes(rngk.integers(0, 256, 12, dtype=np.uint8))
+                       for _ in range(bk)]
+            args = _prep(mkeys, mnonces, [b"hdr"] * bk, [bytes(mb)] * bk)
+            bb, wmk = args[0], args[1]
+            kp_stack, j0wk, frontk, maskk, selk, lbk, ptwk = args[5:12]
 
-        def step(c):
-            o, t = _seal_batch_core(kp_stack, j0wk, frontk, maskk, selk,
-                                    lbk, c, bb, wmk)
-            return o
-        _emit("AES-128-GCM multi-key seal (64 keys x 16 KB)",
-              _marginal_rate(loop_of(step), ptwk, bk * mb))
-
-        # same engine off the timing floor: 64 tenants x 256 KB (16 MB)
-        mb2 = 262144
-        args2 = _prep(mkeys, mnonces, [b"hdr"] * bk, [bytes(mb2)] * bk)
-        bb2, wmk2 = args2[0], args2[1]
-        kp2s, j0w2, front2, mask2, sel2, lb2, ptw2 = args2[5:12]
-
-        def step2(c):
-            o, t = _seal_batch_core(kp2s, j0w2, front2, mask2, sel2,
-                                    lb2, c, bb2, wmk2)
-            return o
-        _emit("AES-128-GCM multi-key seal (64 keys x 256 KB)",
-              _marginal_rate(loop_of(step2), ptw2, bk * mb2))
+            def step(c, a=(kp_stack, j0wk, frontk, maskk, selk, lbk),
+                     bb=bb, wmk=wmk):
+                o, t = _seal_batch_core(*a[:5], a[5], c, bb, wmk)
+                return o
+            _emit(f"AES-128-GCM multi-key seal ({label})",
+                  _marginal_rate(loop_of(step), ptwk, bk * mb))
 
     if "poly1305" in selected:
         r = 0x0ffffffc0ffffffc0ffffffc0fffffff & int.from_bytes(
@@ -278,20 +269,23 @@ def bench_modes(selected):
         _emit("FF1 encrypt (10k tokens, digits len16)",
               ntok / sorted(ts)[1], unit="tokens/s")
 
-        # the zero-string bulk path (uint8 digit matrices end-to-end)
+        # the zero-string bulk path (packed digit matrices end-to-end;
+        # radix 10 ships 2 digits/byte both directions)
         from micro_aes_tpu.fpe.device import fpe_encrypt_digits
 
-        for nd in (10_000, 100_000):
-            dmat = rng.integers(0, 10, (nd, 16), dtype=np.uint8)
-            fpe_encrypt_digits(key16, b"\x01\x02", dmat, 10, "ff1")
-            ts = []
-            for k in range(3):
-                dv = (dmat + k + 1) % 10
-                t0 = time.time()
-                fpe_encrypt_digits(key16, b"\x01\x02", dv, 10, "ff1")
-                ts.append(time.time() - t0)
-            _emit(f"FF1 encrypt digits-array ({nd // 1000}k x len16)",
-                  nd / sorted(ts)[1], unit="tokens/s")
+        for method, tweak in (("ff1", b"\x01\x02"), ("ff3-1", bytes(7))):
+            for nd in (10_000, 100_000):
+                dmat = rng.integers(0, 10, (nd, 16), dtype=np.uint8)
+                fpe_encrypt_digits(key16, tweak, dmat, 10, method)
+                ts = []
+                for k in range(5):
+                    dv = (dmat + k + 1) % 10
+                    t0 = time.time()
+                    fpe_encrypt_digits(key16, tweak, dv, 10, method)
+                    ts.append(time.time() - t0)
+                _emit(f"{method.upper()} encrypt digits-array "
+                      f"({nd // 1000}k x len16)",
+                      nd / sorted(ts)[2], unit="tokens/s")
 
     if "ccm-batch" in selected or "eax-batch" in selected:
         # END-TO-END wall time of the device-resident batch engines
@@ -442,6 +436,30 @@ def bench_modes(selected):
                 return ct ^ tags[:, None, :]
             _emit("AES-128-EAX batch seal, 2048 x 4 KiB (device-resident)",
                   _marginal_rate(loop_of(step), pt0, bq * mlen))
+
+    if "tunnel-cap" in selected:
+        # MEASURED-CAP CONTROL for the end-to-end batch rows (VERDICT r3
+        # item 7): raw round-trip of the same 8 MiB payload (up via
+        # jnp.asarray, trivial device op so the result is a fresh buffer,
+        # down via np.asarray) with NO cipher work at all.  Any engine
+        # whose e2e row sits near this number is transport-bound, not
+        # compute-bound; the device-resident rows above show the same
+        # engines' compute rate.
+        rngt = np.random.default_rng(5)
+        payload = rngt.integers(0, 2**31, (2048, 1024), dtype=np.int32)
+
+        def roundtrip(x):
+            return np.asarray(jnp.asarray(x) + 1)
+
+        roundtrip(payload)
+        ts = []
+        for k in range(3):
+            pv = payload + k + 1
+            t0 = time.time()
+            roundtrip(pv)
+            ts.append(time.time() - t0)
+        _emit("tunnel round-trip cap, 8 MiB up + 8 MiB down (no compute)",
+              payload.nbytes / sorted(ts)[1])
 
     if "cbc-chains" in selected:
         from micro_aes_tpu.core.bitslice import key_planes_packed
@@ -599,7 +617,7 @@ def main(argv=None):
                                  "gcm-multikey",
                                  "poly1305", "fpe", "cbc-chains", "ccm-batch",
                                  "eax-batch", "ccm-batch-dev", "eax-batch-dev",
-                                 "cipher"])
+                                 "tunnel-cap", "cipher"])
     args = parser.parse_args(argv)
     if args.cpu:
         import os
