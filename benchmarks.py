@@ -287,6 +287,37 @@ def bench_modes(selected):
                       f"({nd // 1000}k x len16)",
                       nd / sorted(ts)[2], unit="tokens/s")
 
+        # DEVICE-RESIDENT Feistel rate (marginal, input pre-staged,
+        # output left on device): what the same engine sustains where
+        # PCIe replaces the tunnel — the e2e rows above are bounded by
+        # the link's fixed ~25-40 ms/round-trip (see the tunnel-cap row)
+        import micro_aes_tpu.fpe.device as _fdev
+
+        nch, CH = 4, _fdev.FPE_CHUNK
+        ndd = nch * CH
+        rks1, kp1f = _fdev._rks(key16), _fdev._kp(key16)
+        rkey = bytes(reversed(key16))
+        rks3, kp3f = _fdev._rks(rkey), _fdev._kp(rkey)
+        tw1 = jnp.asarray(np.frombuffer(b"\x01\x02", np.uint8))
+        from micro_aes_tpu.fpe.ff3 import _split_tweak as _spt
+        tl, tr = _spt(bytes(7))
+        tl1 = jnp.asarray(np.frombuffer(tl, np.uint8))
+        tr1 = jnp.asarray(np.frombuffer(tr, np.uint8))
+        wire0 = jnp.zeros((ndd, 8), jnp.uint8)
+
+        def ff1_step(x2):
+            return _fdev._ff1_device_chunked(
+                rks1, kp1f, tw1, x2, 10, 16, 2, True, True)
+
+        def ff3_step(x2):
+            return _fdev._ff3_device_chunked(
+                rks3, kp3f, tl1, tr1, x2, 10, 16, True, True)
+
+        for name, stepf in (("FF1", ff1_step), ("FF3-1", ff3_step)):
+            _emit(f"{name} digits device-resident ({ndd // 1000}k x len16)",
+                  _marginal_rate(loop_of(stepf), wire0, ndd, r1=2, r2=10),
+                  unit="tokens/s")
+
     if "ccm-batch" in selected or "eax-batch" in selected:
         # END-TO-END wall time of the device-resident batch engines
         # (host glue + one upload + folds + keystream + one download);

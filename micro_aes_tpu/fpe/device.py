@@ -271,19 +271,30 @@ _ff1_device = jax.jit(_ff1_core, static_argnames=(
     "radix", "n", "t", "encrypt", "bitslice"))
 
 
+def _map_chunks(body, x2):
+    """Run `body` over FPE_CHUNK-row chunks of x2 [B, wire] inside one
+    jitted program: pad to a chunk multiple ON DEVICE (the pad rows
+    never cross the link), lax.map so the chunk body traces/compiles
+    ONCE (a single flat dispatch at B=100k compiled pathologically
+    slowly), slice back to B ON DEVICE (the pad rows don't download
+    either).  One upload + one dispatch + one download total — each API
+    round-trip costs ~25-40 ms of fixed latency through the remote
+    tunnel, more than the Feistel compute itself."""
+    b = x2.shape[0]
+    nch = -(-b // FPE_CHUNK)
+    x3 = jnp.pad(x2, ((0, nch * FPE_CHUNK - b), (0, 0))).reshape(
+        nch, FPE_CHUNK, x2.shape[1])
+    out = jax.lax.map(body, x3)
+    return out.reshape(nch * FPE_CHUNK, -1)[:b]
+
+
 @functools.partial(jax.jit, static_argnames=("radix", "n", "t", "encrypt",
                                              "bitslice"))
-def _ff1_device_chunked(rks, kp, tweak1, x3, radix: int, n: int, t: int,
+def _ff1_device_chunked(rks, kp, tweak1, x2, radix: int, n: int, t: int,
                         encrypt: bool, bitslice: bool):
-    """x3 [nch, CHUNK, wire]: lax.map over fixed-size chunks — the body
-    traces/compiles ONCE at the chunk shape (a single flat dispatch at
-    B=100k compiled pathologically slowly), and the whole batch still
-    moves in ONE upload + dispatch + download (each API round-trip costs
-    ~25-40 ms of fixed latency through the remote tunnel — more than the
-    Feistel compute itself)."""
-    return jax.lax.map(
+    return _map_chunks(
         lambda c: _ff1_core(rks, kp, tweak1, c, radix, n, t, encrypt,
-                            bitslice), x3)
+                            bitslice), x2)
 
 
 # ---------------------------------------------------------------------------
@@ -348,12 +359,12 @@ _ff3_device = jax.jit(_ff3_core, static_argnames=(
 
 @functools.partial(jax.jit, static_argnames=("radix", "n", "encrypt",
                                              "bitslice"))
-def _ff3_device_chunked(rks_rev, kp_rev, tl1, tr1, x3, radix: int, n: int,
+def _ff3_device_chunked(rks_rev, kp_rev, tl1, tr1, x2, radix: int, n: int,
                         encrypt: bool, bitslice: bool):
-    """Chunked-in-one-dispatch FF3 (see _ff1_device_chunked)."""
-    return jax.lax.map(
+    """Chunked-in-one-dispatch FF3 (see _map_chunks)."""
+    return _map_chunks(
         lambda c: _ff3_core(rks_rev, kp_rev, tl1, tr1, c, radix, n,
-                            encrypt, bitslice), x3)
+                            encrypt, bitslice), x2)
 
 
 # ---------------------------------------------------------------------------
@@ -427,14 +438,13 @@ def _dispatch_digits(key: bytes, tweak: bytes, x: np.ndarray, radix: int,
         raise ValueError(f"unknown FPE method {method!r}")
 
     if b > FPE_CHUNK:
-        nch = -(-b // FPE_CHUNK)
-        pad = nch * FPE_CHUNK - b
-        if pad:
-            xu = np.concatenate([xu, np.broadcast_to(xu[:1], (pad, n))])
+        # only the REAL rows cross the link; chunk padding happens (and
+        # stays) on device inside _map_chunks
+        bp = b + ((-b) % 32)
+        if bp != b:
+            xu = np.concatenate([xu, np.broadcast_to(xu[:1], (bp - b, n))])
         wire = _pack_nibbles_np(xu) if packed else xu
-        w3 = wire.reshape(nch, FPE_CHUNK, wire.shape[1])
-        res = np.asarray(run_chunked(*args, jnp.asarray(w3), *statics))
-        res = res.reshape(nch * FPE_CHUNK, -1)
+        res = np.asarray(run_chunked(*args, jnp.asarray(wire), *statics))
     else:
         bp = b + ((-b) % 32)
         if bp != b:

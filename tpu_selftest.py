@@ -207,6 +207,16 @@ def main() -> int:
           np.array_equal(fpe_decrypt_digits(key16, b"\x01\x02", dct, 10,
                                             "ff1"), dmat))
 
+    # FF3-1 digit-array path (round 4: packed wire + chunked dispatch)
+    tw7 = bytes(range(7))
+    d3 = fpe_encrypt_digits(key16, tw7, dmat, 10, "ff3-1")
+    check("digit-array FF3-1 == host FF3-1",
+          "".join("0123456789"[v] for v in d3[5])
+          == fpe_encrypt(key16, tw7, dtoks[5], "digits", "ff3-1"))
+    check("digit-array FF3-1 round-trip",
+          np.array_equal(fpe_decrypt_digits(key16, tw7, d3, 10, "ff3-1"),
+                         dmat))
+
     n_fail = sum(1 for _, ok in results if not ok)
     print(json.dumps({"selftest": "done", "backend": "tpu",
                       "passed": len(results) - n_fail, "failed": n_fail}))
