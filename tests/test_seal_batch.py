@@ -106,3 +106,20 @@ def test_seal_batch_edge_cases():
     assert gcm_open_batch(keys, nonces, [b"header-only"], out) == [b""]
     out2 = gcm_seal_batch(keys, nonces, [b""], [b""])
     assert out2[0] == gcm_encrypt(keys[0], nonces[0], b"", b"")
+
+
+def test_window_and_tile_contract():
+    """The window rounds to the 8-row sublane tile (NOT a full Pallas
+    tile — a 513-row window must not balloon to 1024, round-4 fix) and
+    the kernel's divisor tile always divides it."""
+    from micro_aes_tpu.ops.pallas_multikey import mk_tile, mk_window_words
+
+    for need in (1, 31, 32, 33, 255, 256, 1024, 1027, 16384, 16387):
+        wm = mk_window_words(need)
+        assert wm % 8 == 0 and 32 * wm >= need
+        assert wm - (-(-need // 32)) < 8  # no more than sublane rounding
+        t = mk_tile(wm)
+        assert t % 8 == 0 and wm % t == 0 and t <= 512
+    # the 256 KB serving shape: 513-row window stays ~513, not 1024
+    assert mk_window_words(16387) == 520
+    assert mk_tile(520) == 104
