@@ -28,7 +28,7 @@ import time
 
 import numpy as np
 
-ARTIFACT_DEFAULT = "SELFTEST_r03.json"
+ARTIFACT_DEFAULT = "SELFTEST_r04.json"
 
 
 def _write_artifact(path: str, payload: dict) -> None:
@@ -43,6 +43,8 @@ def main() -> int:
     out_path = ARTIFACT_DEFAULT
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    elif len(sys.argv) > 1 and sys.argv[1].endswith(".json"):
+        out_path = sys.argv[1]  # positional form: python tpu_selftest.py X.json
 
     import jax
 
