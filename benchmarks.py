@@ -18,25 +18,46 @@ import time
 import numpy as np
 
 
+# No engine here exceeds ~80 GB/s device-resident (the VPU roofline for
+# the cipher family is < 100 GB/s, roofline.py); a slope above this is a
+# degenerate measurement (t_hi ~ t_lo timing noise), not a rate.
+_SANE_BYTES_PER_S = 2e11
+
+
 def _marginal_rate(make_loop, x0, nbytes_per_iter, r1=8, r2=40):
+    """Slope between two on-device repetition counts (cancels the fixed
+    dispatch latency of the remote tunnel), with a physical-sanity
+    retry: noisy sessions can yield t_hi <= t_lo, whose "slope" is
+    absurd — retry the measurement, then fall back to the whole-call
+    rate at r2 (conservative: includes the dispatch latency) rather
+    than ever emitting a nonsense row."""
     import jax
 
-    res = {}
-    for r in (r1, r2):
-        loop = make_loop(r)
-        jax.tree_util.tree_map(lambda v: v.block_until_ready(), loop(x0))
-        ts = []
-        for k in range(3):
-            # every timed call must see DISTINCT input data (the remote
-            # tunnel caches runs by content), so fold r into the value
-            xv = x0 + x0.dtype.type((16 * r + k) % 251 + 1)
-            xv.block_until_ready()
-            t0 = time.time()
-            jax.tree_util.tree_map(lambda v: v.block_until_ready(), loop(xv))
-            ts.append(time.time() - t0)
-        res[r] = sorted(ts)[1]
-    slope = (res[r2] - res[r1]) / (r2 - r1)
-    return nbytes_per_iter / max(slope, 1e-9)
+    def measure():
+        res = {}
+        for r in (r1, r2):
+            loop = make_loop(r)
+            jax.tree_util.tree_map(lambda v: v.block_until_ready(),
+                                   loop(x0))
+            ts = []
+            for k in range(3):
+                # every timed call must see DISTINCT input data (the
+                # remote tunnel caches runs by content)
+                xv = x0 + x0.dtype.type((16 * r + k) % 251 + 1)
+                xv.block_until_ready()
+                t0 = time.time()
+                jax.tree_util.tree_map(lambda v: v.block_until_ready(),
+                                       loop(xv))
+                ts.append(time.time() - t0)
+            res[r] = sorted(ts)[1]
+        slope = (res[r2] - res[r1]) / (r2 - r1)
+        return nbytes_per_iter / max(slope, 1e-9), res
+
+    for _ in range(3):
+        rate, res = measure()
+        if rate <= _SANE_BYTES_PER_S:
+            return rate
+    return nbytes_per_iter * r2 / res[r2]  # whole-call fallback
 
 
 _ROWS: list[dict] = []
