@@ -42,7 +42,11 @@ from ..ops.counter import _LOW_BIT_PATTERNS
 # position layout needs (SHIFT_PERM row gathers dominated the kernel).
 _RM = np.array([4 * (p % 4) + p // 4 for p in range(16)])
 
-SEAL_TILE_W = 512
+# Word-tile width per grid step (32*TILE blocks).  Same-process A/B on
+# v5e (tools/tile_ab.py, 16 MiB GCM seal): 128 -> 27.9, 256 -> 37.4,
+# 512 -> 30.4, 1024 -> 24.7 GB/s — 256 balances VMEM residency against
+# grid/pipeline overlap (and matches ops/pallas_cipher.TILE_W).
+SEAL_TILE_W = 256
 
 
 def _interpret() -> bool:
