@@ -437,20 +437,15 @@ def _dispatch_digits(key: bytes, tweak: bytes, x: np.ndarray, radix: int,
     else:
         raise ValueError(f"unknown FPE method {method!r}")
 
-    if b > FPE_CHUNK:
-        # only the REAL rows cross the link; chunk padding happens (and
-        # stays) on device inside _map_chunks
-        bp = b + ((-b) % 32)
-        if bp != b:
-            xu = np.concatenate([xu, np.broadcast_to(xu[:1], (bp - b, n))])
-        wire = _pack_nibbles_np(xu) if packed else xu
-        res = np.asarray(run_chunked(*args, jnp.asarray(wire), *statics))
-    else:
-        bp = b + ((-b) % 32)
-        if bp != b:
-            xu = np.concatenate([xu, np.broadcast_to(xu[:1], (bp - b, n))])
-        wire = _pack_nibbles_np(xu) if packed else xu
-        res = np.asarray(run(*args, jnp.asarray(wire), *statics))
+    # only the REAL rows cross the link; above one chunk the lax.map
+    # form runs and its chunk padding happens (and stays) on device
+    # inside _map_chunks
+    bp = b + ((-b) % 32)
+    if bp != b:
+        xu = np.concatenate([xu, np.broadcast_to(xu[:1], (bp - b, n))])
+    wire = _pack_nibbles_np(xu) if packed else xu
+    fn = run_chunked if b > FPE_CHUNK else run
+    res = np.asarray(fn(*args, jnp.asarray(wire), *statics))
     if packed:
         return _unpack_nibbles_np(res[:b], n)
     return res[:b]

@@ -37,7 +37,14 @@ def mk_window_words(nblocks: int) -> int:
     wasted cipher work on exactly the serving shape the engine exists
     for; the kernel now picks a divisor tile instead (mk_tile)."""
     wm = -(-nblocks // 32)
-    return wm + (-wm) % 8
+    wm += (-wm) % 8
+    # Tile floor (ADVICE r4): an unlucky wm (e.g. 536 = 8*67) has no
+    # multiple-of-8 divisor above 8, degrading the grid to tiny steps.
+    # Pad minimally until a tile >= 64 divides the window — bounded by
+    # the next multiple of 64, so at most 56 padded rows.
+    while wm >= 64 and mk_tile(wm) < 64:
+        wm += 8
+    return wm
 
 
 def mk_tile(wm: int) -> int:

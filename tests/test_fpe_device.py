@@ -149,3 +149,23 @@ def test_digit_array_api_validation():
         fpe_encrypt_digits(key, b"", np.zeros(16, np.uint8), 10)  # not 2-D
     with pytest.raises(EncryptionError):
         fpe_encrypt_digits(key, b"", np.zeros((4, 16), np.uint8), 1000)
+
+
+@pytest.mark.parametrize("method", ["ff1", "ff3-1"])
+def test_chunked_dispatch_matches_unchunked(method, monkeypatch):
+    """b > FPE_CHUNK routes through the lax.map chunked program
+    (_map_chunks pad/slice glue); with FPE_CHUNK shrunk, a small
+    non-multiple batch drives the same glue on CPU and must agree
+    bit-exactly with the flat dispatch (ADVICE r4)."""
+    from micro_aes_tpu.fpe import device as fdev
+
+    rng = np.random.default_rng(11)
+    key = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+    tweak = b"\x01\x02" if method == "ff1" else bytes(7)
+    dmat = rng.integers(0, 10, (77, 16), dtype=np.uint8)  # not % 32
+    flat = fdev.fpe_encrypt_digits(key, tweak, dmat, 10, method)
+    monkeypatch.setattr(fdev, "FPE_CHUNK", 32)
+    chunked = fdev.fpe_encrypt_digits(key, tweak, dmat, 10, method)
+    np.testing.assert_array_equal(flat, chunked)
+    back = fdev.fpe_decrypt_digits(key, tweak, chunked, 10, method)
+    np.testing.assert_array_equal(back, dmat)

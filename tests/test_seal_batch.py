@@ -114,12 +114,52 @@ def test_window_and_tile_contract():
     the kernel's divisor tile always divides it."""
     from micro_aes_tpu.ops.pallas_multikey import mk_tile, mk_window_words
 
-    for need in (1, 31, 32, 33, 255, 256, 1024, 1027, 16384, 16387):
+    for need in (1, 31, 32, 33, 255, 256, 1024, 1027, 16384, 16387,
+                 17149, 536 * 32):
         wm = mk_window_words(need)
         assert wm % 8 == 0 and 32 * wm >= need
-        assert wm - (-(-need // 32)) < 8  # no more than sublane rounding
+        assert wm - (-(-need // 32)) < 64  # sublane + tile-floor pad only
         t = mk_tile(wm)
         assert t % 8 == 0 and wm % t == 0 and t <= 512
+        if wm >= 64:  # ADVICE r4: no silent tile=8 perf cliff
+            assert t >= 64, (need, wm, t)
     # the 256 KB serving shape: 513-row window stays ~513, not 1024
     assert mk_window_words(16387) == 520
     assert mk_tile(520) == 104
+    # the unlucky 536-row shape pads past its divisor-free zone
+    assert mk_tile(mk_window_words(536 * 32)) >= 64
+
+
+def test_warm_tables_match_cold_and_purge():
+    """reuse_tables=True (memoized per-key-set GHASH tables, VERDICT r4
+    item 3) must be bit-identical to the cold in-dispatch derivation,
+    hit its cache on the second call, and register with the purge
+    audit surface."""
+    from micro_aes_tpu.modes.seal_batch import (
+        _tables_cached,
+        gcm_open_batch,
+        gcm_seal_batch,
+    )
+    from micro_aes_tpu.utils.keycache import registered_key_caches
+
+    rng = np.random.default_rng(57)
+    B = 32
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+            for _ in range(B)]
+    nonces = [rng.integers(0, 256, 12, dtype=np.uint8).tobytes()
+              for _ in range(B)]
+    aads = [b"hdr"] * B
+    pts = [rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+           for _ in range(B)]
+    cold = gcm_seal_batch(keys, nonces, aads, pts)
+    _tables_cached.cache_clear()
+    warm = gcm_seal_batch(keys, nonces, aads, pts, reuse_tables=True)
+    assert warm == cold
+    info0 = _tables_cached.cache_info()
+    warm2 = gcm_seal_batch(keys, nonces, aads, pts, reuse_tables=True)
+    assert warm2 == cold
+    assert _tables_cached.cache_info().hits == info0.hits + 1
+    opened = gcm_open_batch(keys, nonces, aads, warm, reuse_tables=True)
+    assert opened == pts
+    assert _tables_cached in registered_key_caches()
+    _tables_cached.cache_clear()
