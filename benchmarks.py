@@ -295,7 +295,7 @@ def bench_modes(selected):
         from micro_aes_tpu.fpe.device import fpe_encrypt_digits
 
         for method, tweak in (("ff1", b"\x01\x02"), ("ff3-1", bytes(7))):
-            for nd in (10_000, 100_000):
+            for nd in (10_000, 100_000, 500_000):
                 dmat = rng.integers(0, 10, (nd, 16), dtype=np.uint8)
                 fpe_encrypt_digits(key16, tweak, dmat, 10, method)
                 ts = []
@@ -388,30 +388,27 @@ def bench_modes(selected):
         # engines sustain on local hardware where PCIe replaces the
         # tunnel (BASELINE.md reports both).
         from micro_aes_tpu.core.bitslice import key_planes_packed
-        from micro_aes_tpu.modes.bulk import (
-            _ccm_b0_prefix,
-            _kp_stack_dev,
-            _multikey_cipher_core,
-            stack_round_keys,
-        )
+        from micro_aes_tpu.modes.bulk import _ccm_b0_prefix, stack_round_keys
         from micro_aes_tpu.modes.ccm import _iv0
-        from micro_aes_tpu.ops.counter import counter_blocks
         from micro_aes_tpu.ops.mac import cbcmac_fold_batch_auto
 
         rngd = np.random.default_rng(23)
-        bq, mlen = 2048, 4096
+        bq, mlen = 4096, 4096  # 4096 msgs -> full 128-lane word tiles
         nksd = mlen // 16
         dkeys = [rngd.integers(0, 256, 16, dtype=np.uint8).tobytes()
                  for _ in range(bq)]
         rks = stack_round_keys(dkeys)
         kpwd = jnp.asarray(key_planes_packed(rks))
-        kp_stack = _kp_stack_dev(dkeys)
         rksj = jnp.asarray(rks)
         nvp_j = jnp.full(bq, nksd, jnp.int32)
         pt0 = jnp.zeros((bq, nksd, 16), jnp.uint8)
         zeros16 = jnp.zeros((bq, 16), jnp.uint8)
+        ones16 = jnp.full((bq, 16), 0xFF, jnp.uint8)
 
-        from micro_aes_tpu.ops.pallas_chain import cbcmac_packed_fused
+        from micro_aes_tpu.ops.pallas_chain import (
+            aead_chain_fused,
+            cbcmac_packed_fused,
+        )
 
         def fold(init, blocks, nv):
             if jax.default_backend() == "tpu":
@@ -419,6 +416,10 @@ def bench_modes(selected):
             return cbcmac_fold_batch_auto(rksj, init, blocks, nv)
 
         if "ccm-batch-dev" in selected:
+            # round-5 engine: keystream + plaintext CBC-MAC + E(A0)
+            # whitener in ONE fused VMEM pass (the r4 composition of
+            # multikey CTR + two chain-kernel folds measured 2.3 GB/s —
+            # 13x below the same chip's fused GCM; VERDICT r4 item 1)
             iv0s = np.stack([_iv0(rngd.integers(0, 256, 11, dtype=np.uint8)
                                   .tobytes()) for _ in range(bq)])
             prefixes = [_ccm_b0_prefix(iv0s[i], np.frombuffer(b"hdr", np.uint8),
@@ -430,17 +431,15 @@ def bench_modes(selected):
             pb_j = jnp.asarray(pb)
             nv1_j = jnp.asarray(np.array(
                 [p.shape[0] for p in prefixes], np.int32))
-            ctrs = jax.vmap(lambda b: counter_blocks(b, nksd + 1, 0, "be"))(
-                jnp.asarray(iv0s))
+            iv0s_j = jnp.asarray(iv0s)
 
             def step(ptj):
-                ks_all = _multikey_cipher_core(kp_stack, ctrs, bq, nksd + 1)
                 acc = fold(zeros16, pb_j, nv1_j)
-                macs = fold(acc, ptj, nvp_j)
-                tags = ks_all[:, 0] ^ macs
-                return (ptj ^ ks_all[:, 1:]) ^ tags[:, None, :]
-            _emit("AES-128-CCM batch seal, 2048 x 4 KiB (device-resident)",
-                  _marginal_rate(loop_of(step), pt0, bq * mlen))
+                ct, tags = aead_chain_fused("ccm", kpwd, iv0s_j, acc, ptj,
+                                            nvp_j, ones16, zeros16)
+                return ct ^ tags[:, None, :]
+            _emit("AES-128-CCM batch seal, 4096 x 4 KiB (device-resident, "
+                  "fused)", _marginal_rate(loop_of(step), pt0, bq * mlen))
 
         if "eax-batch-dev" in selected:
             from micro_aes_tpu.modes.bulk import _eax_subkeys
@@ -472,22 +471,121 @@ def bench_modes(selected):
             tweak2_j = jnp.asarray(tweak2)
             one = jnp.ones(bq, jnp.int32)
             lastadd = jnp.asarray(k1)  # whole-block last: xor K1
-            onehot = (jnp.arange(nksd)[None, :] == nksd - 1).astype(jnp.uint8)
 
             def step(ptj):
                 n_mac = fold(zeros16, nblk, two)
                 h_mac = fold(zeros16, hblk, two)
-                ctrs_e = jax.vmap(
-                    lambda b: counter_blocks(b, nksd, 0, "be"))(n_mac)
-                ks = _multikey_cipher_core(kp_stack, ctrs_e, bq, nksd)
-                ct = ptj ^ ks
                 acc = fold(zeros16, tweak2_j, one)
-                mac_in = ct ^ (onehot[:, :, None] * lastadd[:, None, :])
-                c_mac = fold(acc, mac_in, nvp_j)
+                ct, c_mac = aead_chain_fused("eax", kpwd, n_mac, acc, ptj,
+                                             nvp_j, ones16, lastadd)
                 tags = n_mac ^ h_mac ^ c_mac
                 return ct ^ tags[:, None, :]
-            _emit("AES-128-EAX batch seal, 2048 x 4 KiB (device-resident)",
-                  _marginal_rate(loop_of(step), pt0, bq * mlen))
+            _emit("AES-128-EAX batch seal, 4096 x 4 KiB (device-resident, "
+                  "fused)", _marginal_rate(loop_of(step), pt0, bq * mlen))
+
+    if ("kw-batch" in selected or "cmac-batch" in selected
+            or "siv-batch" in selected):
+        # wheel-mode rows (VERDICT r4 item 7: no mode family perf-dark)
+        from micro_aes_tpu.core.bitslice import key_planes_packed
+        from micro_aes_tpu.modes.bulk import _eax_subkeys, stack_round_keys
+        from micro_aes_tpu.ops.mac import cbcmac_fold_batch_auto
+        from micro_aes_tpu.ops.pallas_chain import (
+            cbcmac_packed_fused,
+            kw_packed_fused,
+            wide_perm,
+        )
+
+        rngw = np.random.default_rng(29)
+        bw = 4096
+        wkeys = [rngw.integers(0, 256, 16, dtype=np.uint8).tobytes()
+                 for _ in range(bw)]
+        rksw = stack_round_keys(wkeys)
+        rkswj = jnp.asarray(rksw)
+        kpww = jnp.asarray(key_planes_packed(rksw))
+        zeros16w = jnp.zeros((bw, 16), jnp.uint8)
+
+        def foldw(init, blocks, nv):
+            if jax.default_backend() == "tpu":
+                return cbcmac_packed_fused(kpww, init, blocks, nv)
+            return cbcmac_fold_batch_auto(rkswj, init, blocks, nv)
+
+        if "kw-batch" in selected:
+            # lane-packed RFC-3394 wheel: 6n serial one-block steps per
+            # message, whole R array VMEM-resident (the r4 scan form was
+            # correct but perf-dark and unusable at scale)
+            nsem = 64  # 512 B secrets
+            kpw_kw = jnp.asarray(key_planes_packed(rksw[wide_perm(bw)]))
+            sec0 = jnp.zeros((bw, nsem, 8), jnp.uint8)
+
+            def step(c):
+                return c ^ kw_packed_fused(kpw_kw, c)[:, 1:, :]
+            _emit("AES-128-KW batch wrap, 4096 x 512 B (device-resident)",
+                  _marginal_rate(loop_of(step), sec0, bw * nsem * 8))
+
+        if "cmac-batch" in selected:
+            nbc = 256  # 4 KiB messages
+            k1c, _k2c = _eax_subkeys(rkswj, bw)
+            onehot_c = (jnp.arange(nbc)[None, :, None]
+                        == nbc - 1).astype(jnp.uint8)
+            lastxor = onehot_c * k1c[:, None, :]
+            nvc = jnp.full(bw, nbc, jnp.int32)
+
+            def step(m):
+                tag = foldw(zeros16w, m ^ lastxor, nvc)
+                return m ^ tag[:, None, :]
+            _emit("AES-128-CMAC batch, 4096 x 4 KiB (device-resident)",
+                  _marginal_rate(loop_of(step),
+                                 jnp.zeros((bw, nbc, 16), jnp.uint8),
+                                 bw * nbc * 16))
+
+        if "siv-batch" in selected:
+            # S2V (three CMAC stages, micro_aes.c:1324-1360) + SIV-CTR
+            # keystream, all device-resident
+            from micro_aes_tpu.modes.bulk import (
+                _kp_stack_dev,
+                _multikey_cipher_core,
+            )
+            from micro_aes_tpu.ops.counter import counter_blocks
+            from micro_aes_tpu.ops.mac import double_be_np
+
+            nbs = 256
+            k1s, k2s = _eax_subkeys(rkswj, bw)
+            k1s_np = np.asarray(k1s)
+            # y0 = CMAC(0^16): one whole block -> fold(0, 0^16 ^ K1)
+            y0blk = jnp.asarray(k1s_np[:, None, :])
+            one_s = jnp.ones(bw, jnp.int32)
+            aadblk = jnp.asarray(
+                (np.frombuffer(b"hdr".ljust(16, b"\x00"), np.uint8)
+                 .copy().reshape(1, 1, 16)
+                 ^ np.zeros((bw, 1, 16), np.uint8)))
+            # aad is 3 bytes -> padded block with 0x80 marker ^ K2
+            aadblk = aadblk.at[:, 0, 3].set(aadblk[:, 0, 3] ^ 0x80)
+            aadblk = aadblk ^ jnp.asarray(np.asarray(k2s))[:, None, :]
+            onehot_s = (jnp.arange(nbs)[None, :, None]
+                        == nbs - 1).astype(jnp.uint8)
+            nvs = jnp.full(bw, nbs, jnp.int32)
+            kp_stack_s = _kp_stack_dev(wkeys)
+            dbl = jnp.asarray(double_be_np(np.zeros((1, 16), np.uint8)))
+
+            def step(ptj):
+                y0 = foldw(zeros16w, y0blk, one_s)
+                amac = foldw(zeros16w, aadblk, one_s)
+                from micro_aes_tpu.ops.gf128 import double_be
+
+                y = double_be(y0) ^ amac
+                lastadd = (y ^ jnp.asarray(k1s_np))[:, None, :] * onehot_s
+                iv = foldw(zeros16w, ptj ^ lastadd, nvs)
+                bases = iv.at[:, 8].set(iv[:, 8] & 0x7F)
+                bases = bases.at[:, 12].set(bases[:, 12] & 0x7F)
+                ctrs = jax.vmap(
+                    lambda b: counter_blocks(b, nbs, 0, "be"))(bases)
+                ks = _multikey_cipher_core(kp_stack_s, ctrs, bw, nbs)
+                return (ptj ^ ks) ^ iv[:, None, :]
+            _emit("AES-SIV batch seal (S2V+CTR), 4096 x 4 KiB "
+                  "(device-resident)",
+                  _marginal_rate(loop_of(step),
+                                 jnp.zeros((bw, nbs, 16), jnp.uint8),
+                                 bw * nbs * 16))
 
     if "tunnel-cap" in selected:
         # MEASURED-CAP CONTROL for the end-to-end batch rows (VERDICT r3
@@ -529,6 +627,21 @@ def bench_modes(selected):
             return chain_packed_fused("cbc", kpw, ivs, c)
         _emit("AES-256-CBC encrypt chains (4096 msgs x 4 KiB)",
               _marginal_rate(loop_of(step), blocks0, bm * nb * 16))
+
+        # wide-layout variant (VERDICT r4 item 2): ONE 2D transpose each
+        # way + in-kernel lane slicing, vs the legacy 4D interleaves
+        from micro_aes_tpu.ops.pallas_chain import (
+            chain_packed_fused_wide,
+            wide_perm,
+        )
+
+        kpw_wd = jnp.asarray(key_planes_packed(
+            stack_round_keys([key] * bm)[wide_perm(bm)]))
+
+        def stepw(c):
+            return chain_packed_fused_wide("cbc", kpw_wd, ivs, c)
+        _emit("AES-256-CBC encrypt chains (4096 x 4 KiB, wide layout)",
+              _marginal_rate(loop_of(stepw), blocks0, bm * nb * 16))
 
     if "cipher" in selected:
         from micro_aes_tpu.ops.pallas_cipher import TILE_W, cipher_planes_auto

@@ -406,6 +406,58 @@ def _enc1_batch(rks, blocks: np.ndarray) -> np.ndarray:
     return np.asarray(_enc_vmap(rks, jnp.asarray(blocks[:, None, :])))[:, 0]
 
 
+def _aead_fused_gate() -> bool:
+    """MICRO_AES_AEAD_FUSED=0/1 overrides the backend gate so the CPU
+    differential tests can drive the fused-engine glue (pad, tail/last
+    masks, tag finalize) through the interpret-mode kernel."""
+    import os
+
+    v = os.environ.get("MICRO_AES_AEAD_FUSED")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _tail_mask_np(lens) -> np.ndarray:
+    """uint8[B,16] byte-validity mask of each message's FINAL MAC block:
+    0xFF for byte index < s where s = (len-1)%16+1 (a full final block
+    masks nothing); all-zero rows for empty messages (never applied —
+    their nvalid is 0)."""
+    lens = np.asarray(lens, np.int64)
+    s = np.where(lens > 0, (lens - 1) % BLOCK + 1, 0)
+    return ((np.arange(BLOCK)[None, :] < s[:, None]) * 0xFF).astype(np.uint8)
+
+
+def _aead_fused_run(kind: str, rks_np: np.ndarray, c0, init, blocks_j,
+                    nvalid, tail_np, lastadd_np, decrypt: bool):
+    """Pad the batch to 32 lanes and run the fused CTR+CBC-MAC chain
+    kernel (ops/pallas_chain.aead_chain_fused).  Returns (stream out,
+    tag) sliced back to B; intermediate data never leaves the device."""
+    from ..ops.mac import _kpw_cached
+    from ..ops.pallas_chain import aead_chain_fused
+
+    b = blocks_j.shape[0]
+    pad = (-b) % 32
+    rks_p = rks_np if not pad else np.concatenate(
+        [rks_np, np.repeat(rks_np[-1:], pad, 0)])
+    kpw = jnp.asarray(_kpw_cached(rks_p.tobytes(), rks_p.shape[0],
+                                  rks_p.shape[1]))
+
+    def pad16(a):
+        a = jnp.asarray(a)
+        return jnp.pad(a, ((0, pad), (0, 0))) if pad else a
+
+    blocks_p = (jnp.pad(jnp.asarray(blocks_j), ((0, pad), (0, 0), (0, 0)))
+                if pad else jnp.asarray(blocks_j))
+    nv = jnp.asarray(nvalid, jnp.int32)
+    if pad:
+        nv = jnp.pad(nv, (0, pad))
+    out, tag = aead_chain_fused(kind, kpw, pad16(c0), pad16(init),
+                                blocks_p, nv, pad16(tail_np),
+                                pad16(lastadd_np), decrypt=decrypt)
+    return out[:b], tag[:b]
+
+
 def _eax_subkeys(rks, B: int):
     """L = E_K(0) per key (one small dispatch), K1/K2 host-side."""
     from ..ops.mac import double_be_np
@@ -450,13 +502,13 @@ def _omac_small_dev(rks, k1, k2, t: int, datas: list[np.ndarray]):
                                   jnp.asarray(blocks), jnp.asarray(nv))
 
 
-def _omac_blocks_dev(rks, k1, k2, t: int, blocks_j, lens):
-    """OMAC(t) over B DEVICE-resident zero-masked payloads [B, nb, 16]
-    (the ciphertext side of EAX): the last-block 0x80 marker and K1/K2
-    tweak are data-INDEPENDENT, so they apply as a one-hot xor on
-    device; the tweak block rides a 1-block prefix fold.  The payload
-    never visits the host."""
-    B, nb = blocks_j.shape[0], blocks_j.shape[1]
+def _eax_last_np(k1, k2, t: int, lens):
+    """Per-message data-INDEPENDENT OMAC constants (micro_aes.c:1531-1549
+    last-block handling): the tweak prefix block [0..0,t] (with K1 folded
+    in for EMPTY messages — their whole OMAC is E(T ^ K1)), the
+    final-block xor (0x80 pad marker + K2 for partial blocks, K1 for
+    whole blocks), and the payload block counts."""
+    B = len(lens)
     tweak = np.zeros((B, 1, BLOCK), np.uint8)
     tweak[:, 0, BLOCK - 1] = t
     lastadd = np.zeros((B, BLOCK), np.uint8)
@@ -474,6 +526,17 @@ def _omac_blocks_dev(rks, k1, k2, t: int, blocks_j, lens):
             la ^= k1[i]
         lastadd[i] = la
         nv[i] = (n - 1) // BLOCK + 1
+    return tweak, lastadd, nv
+
+
+def _omac_blocks_dev(rks, k1, k2, t: int, blocks_j, lens):
+    """OMAC(t) over B DEVICE-resident zero-masked payloads [B, nb, 16]
+    (the ciphertext side of EAX): the last-block 0x80 marker and K1/K2
+    tweak are data-INDEPENDENT, so they apply as a one-hot xor on
+    device; the tweak block rides a 1-block prefix fold.  The payload
+    never visits the host."""
+    B, nb = blocks_j.shape[0], blocks_j.shape[1]
+    tweak, lastadd, nv = _eax_last_np(k1, k2, t, lens)
     acc = cbcmac_fold_batch_auto(rks, jnp.zeros((B, BLOCK), jnp.uint8),
                                  jnp.asarray(tweak),
                                  jnp.ones(B, jnp.int32))
@@ -505,6 +568,26 @@ def eax_encrypt_batch(keys, nonces, aads, pts, tag_len: int = 16) -> list[bytes]
     n_mac = _omac_small_dev(rks, k1, k2, 0, nonces)
     h_mac = _omac_small_dev(rks, k1, k2, 1, aads)
     nks = max(((n + BLOCK - 1) // BLOCK for n in lens), default=0)
+    if nks and _aead_fused_gate():
+        # fused path (VERDICT r4 item 1): keystream xor + ciphertext
+        # OMAC in ONE VMEM pass; the tweak prefix folds separately and
+        # the final-block K1/K2 + 0x80 apply in-kernel at each lane's
+        # last step
+        ptj = jnp.asarray(_pad_blocks_batch(pts, nks))
+        tweak, lastadd, nv = _eax_last_np(k1, k2, 2, lens)
+        acc = cbcmac_fold_batch_auto(rks, jnp.zeros((B, BLOCK), jnp.uint8),
+                                     jnp.asarray(tweak),
+                                     jnp.ones(B, jnp.int32))
+        ct_j, c_mac = _aead_fused_run("eax", rks, np.asarray(n_mac), acc,
+                                      ptj, nv, _tail_mask_np(lens),
+                                      lastadd, False)
+        tags = np.asarray(n_mac ^ h_mac ^ c_mac)
+        ct_np = np.asarray(ct_j)
+        return [
+            (bytes(ct_np[i].reshape(-1)[: n]) if n else b"")
+            + bytes(tags[i][:tag_len])
+            for i, n in enumerate(lens)
+        ]
     if nks:
         ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 0, "be"))(n_mac)
         ks = cipher_blocks_multikey_dev(keys, ctrs)
@@ -545,6 +628,26 @@ def eax_decrypt_batch(keys, nonces, aads, ct_tags,
     h_mac = _omac_small_dev(rks, k1, k2, 1, aads)
     nks = max(((n + BLOCK - 1) // BLOCK for n in lens), default=0)
     ctj = jnp.asarray(_pad_blocks_batch(cts, max(nks, 1)))
+    if nks and _aead_fused_gate():
+        # fused open: the ct OMAC folds the INPUT stream while the same
+        # pass recovers the plaintext
+        tweak, lastadd, nv = _eax_last_np(k1, k2, 2, lens)
+        acc = cbcmac_fold_batch_auto(rks, jnp.zeros((B, BLOCK), jnp.uint8),
+                                     jnp.asarray(tweak),
+                                     jnp.ones(B, jnp.int32))
+        pt_j, c_mac = _aead_fused_run("eax", rks, np.asarray(n_mac), acc,
+                                      ctj, nv, _tail_mask_np(lens),
+                                      lastadd, True)
+        expects = np.asarray(n_mac ^ h_mac ^ c_mac)
+        pt_np = np.asarray(pt_j)
+        out: list[bytes | None] = []
+        for i, c in enumerate(cts):
+            if not verify_tag(expects[i][:tag_len], tags[i]):
+                out.append(None)
+                continue
+            out.append(bytes(pt_np[i].reshape(-1)[: len(c)])
+                       if len(c) else b"")
+        return out
     c_mac = _omac_blocks_dev(rks, k1, k2, 2, ctj, lens)
     expects = np.asarray(n_mac ^ h_mac ^ c_mac)
 
@@ -688,8 +791,28 @@ def ccm_encrypt_batch(keys, nonces, aads, pts, nonce_len: int | None = None,
 
     nks = max(((len(p) + BLOCK - 1) // BLOCK for p in pts), default=0)
     ptj = jnp.asarray(_pad_blocks_batch(pts, max(nks, 1)))
-    nvp = jnp.asarray(np.array([(len(p) + BLOCK - 1) // BLOCK
-                                for p in pts], np.int32))
+    nvp_np = np.array([(len(p) + BLOCK - 1) // BLOCK for p in pts], np.int32)
+    if nks and _aead_fused_gate():
+        # fused path (VERDICT r4 item 1): ONE VMEM pass produces the CTR
+        # ciphertext AND the plaintext CBC-MAC, with E(A0) (the tag
+        # whitener) computed by the kernel's leading whiten step; only
+        # the tiny B0+AAD prefix folds separately
+        pb, nv1 = _ccm_prefix_batch(iv0s, aads, [len(p) for p in pts],
+                                    tag_len)
+        acc = cbcmac_fold_batch_auto(rks, jnp.zeros((B, BLOCK), jnp.uint8),
+                                     jnp.asarray(pb), jnp.asarray(nv1))
+        ct_j, tag_j = _aead_fused_run(
+            "ccm", rks, iv0s, acc, ptj, nvp_np,
+            np.full((B, BLOCK), 0xFF, np.uint8),
+            np.zeros((B, BLOCK), np.uint8), False)
+        tags = np.asarray(tag_j)
+        ct_pad = np.asarray(ct_j)
+        return [
+            (bytes(ct_pad[i].reshape(-1)[: len(p)]) if len(p) else b"")
+            + bytes(tags[i][:tag_len])
+            for i, p in enumerate(pts)
+        ]
+    nvp = jnp.asarray(nvp_np)
     # keystream blocks 0..nks: block 0 IS E(A0) (the tag whitener)
     ctrs = jax.vmap(lambda b: counter_blocks(b, nks + 1, 0, "be"))(
         jnp.asarray(iv0s))
@@ -728,6 +851,27 @@ def ccm_decrypt_batch(keys, nonces, aads, ct_tags,
     nks = max(((len(c) + BLOCK - 1) // BLOCK for c in cts), default=0)
     lens = np.array([len(c) for c in cts], np.int32)
     ctj = jnp.asarray(_pad_blocks_batch(cts, max(nks, 1)))
+    if nks and _aead_fused_gate():
+        # fused open: decrypt-then-verify in ONE pass — the MAC folds
+        # the RECOVERED plaintext (kernel output side), byte-masked past
+        # each message's length at its final block
+        pb, nv1 = _ccm_prefix_batch(iv0s, aads, [int(v) for v in lens],
+                                    tag_len)
+        acc = cbcmac_fold_batch_auto(rks, jnp.zeros((B, BLOCK), jnp.uint8),
+                                     jnp.asarray(pb), jnp.asarray(nv1))
+        pt_j, tag_j = _aead_fused_run(
+            "ccm", rks, iv0s, acc, ctj, (lens + BLOCK - 1) // BLOCK,
+            _tail_mask_np(lens), np.zeros((B, BLOCK), np.uint8), True)
+        expects = np.asarray(tag_j)
+        pt_np = np.asarray(pt_j)
+        out: list[bytes | None] = []
+        for i, c in enumerate(cts):
+            if not verify_tag(expects[i][:tag_len], tags[i]):
+                out.append(None)
+                continue
+            out.append(bytes(pt_np[i].reshape(-1)[: len(c)])
+                       if len(c) else b"")
+        return out
     nvp = jnp.asarray((lens + BLOCK - 1) // BLOCK)
     ctrs = jax.vmap(lambda b: counter_blocks(b, nks + 1, 0, "be"))(
         jnp.asarray(iv0s))
@@ -871,11 +1015,46 @@ def siv_decrypt_batch(keys, ivs, aads, cts) -> list[bytes | None]:
             for i in range(len(cts))]
 
 
+def _kw_fused_gate() -> bool:
+    """MICRO_AES_KW_FUSED=0/1 overrides the backend gate (CPU tests
+    drive the lane-packed wheel through the interpret-mode kernel)."""
+    import os
+
+    v = os.environ.get("MICRO_AES_KW_FUSED")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _kw_wheel_group(keks_g: list[bytes], data: np.ndarray, n: int,
+                    unwrap: bool) -> np.ndarray:
+    """Run one (n, key-size) group of KW wheels through the lane-packed
+    VMEM kernel (ops/pallas_chain.kw_packed_fused): pad the batch to 32
+    lanes, pack keys in the wide-permuted order, slice back.  Returns
+    uint8[B, n+1, 8] (A' || R')."""
+    from ..core.bitslice import key_planes_packed
+    from ..ops.pallas_chain import kw_packed_fused, wide_perm
+
+    b = len(keks_g)
+    pad = (-b) % 32
+    rks = stack_round_keys(keks_g)
+    if pad:
+        rks = np.concatenate([rks, np.repeat(rks[-1:], pad, 0)])
+        data = np.concatenate(
+            [data, np.zeros((pad,) + data.shape[1:], np.uint8)])
+    kpw_w = jnp.asarray(key_planes_packed(rks[wide_perm(rks.shape[0])]))
+    out = kw_packed_fused(kpw_w, jnp.asarray(data), unwrap=unwrap)
+    return np.asarray(out)[:b]
+
+
 def key_wrap_batch(keks, secrets) -> list[bytes]:
-    """AES_KEY_wrap (micro_aes.c:1829-1855) over B secrets: the serial
-    6n-step wheels run vmapped — one dispatch per (semiblock count,
-    key size) group instead of per message."""
+    """AES_KEY_wrap (micro_aes.c:1829-1855) over B secrets: one device
+    dispatch per (semiblock count, key size) group.  Large groups ride
+    the lane-packed VMEM wheel kernel (32 messages per word, the whole
+    R array resident — VERDICT r4 item 7); smaller ones the vmapped
+    scan."""
     from ..errors import DataLengthError
+    from ..ops.pallas_chain import kw_kernel_fits
     from .kw import HB, _wrap_scan
 
     secrets = [to_u8(s) for s in secrets]
@@ -887,6 +1066,13 @@ def key_wrap_batch(keks, secrets) -> list[bytes]:
         groups.setdefault((len(s) // HB, len(keks[i])), []).append(i)
     out: list[bytes | None] = [None] * len(secrets)
     for (n, _), idxs in groups.items():
+        bp = len(idxs) + ((-len(idxs)) % 32)
+        if _kw_fused_gate() and kw_kernel_fits(bp, n):
+            data = np.stack([secrets[i].reshape(n, HB) for i in idxs])
+            ar = _kw_wheel_group([keks[i] for i in idxs], data, n, False)
+            for k, i in enumerate(idxs):
+                out[i] = bytes(ar[k].reshape(-1))
+            continue
         rks = jnp.asarray(stack_round_keys([keks[i] for i in idxs]))
         a0 = jnp.full((len(idxs), HB), 0xA6, jnp.uint8)
         r0 = jnp.asarray(np.stack([secrets[i].reshape(n, HB)
@@ -915,7 +1101,17 @@ def key_unwrap_batch(keks, wrappeds) -> list[bytes | None]:
         groups.setdefault((len(w) // HB - 1, len(keks[i])), []).append(i)
     out: list[bytes | None] = [None] * len(wrappeds)
     icv = np.full(HB, 0xA6, np.uint8)
+    from ..ops.pallas_chain import kw_kernel_fits
+
     for (n, _), idxs in groups.items():
+        bp = len(idxs) + ((-len(idxs)) % 32)
+        if _kw_fused_gate() and kw_kernel_fits(bp, n):
+            data = np.stack([wrappeds[i].reshape(n + 1, HB) for i in idxs])
+            ar = _kw_wheel_group([keks[i] for i in idxs], data, n, True)
+            for k, i in enumerate(idxs):
+                out[i] = (bytes(ar[k, 1:].reshape(-1))
+                          if verify_tag(icv, ar[k, 0]) else None)
+            continue
         rks = jnp.asarray(stack_round_keys([keks[i] for i in idxs]))
         a0 = jnp.asarray(np.stack([wrappeds[i][:HB] for i in idxs]))
         r0 = jnp.asarray(np.stack([wrappeds[i][HB:].reshape(n, HB)

@@ -243,3 +243,124 @@ def test_ccm_prefix_batch_matches_per_message():
             assert nv1[i] == ref.shape[0]
             assert np.array_equal(pb[i, : nv1[i]], ref), alens[i]
             assert not pb[i, nv1[i]:].any()
+
+
+def test_fused_aead_engines_forced_on_cpu():
+    """Force the fused CTR+CBC-MAC engine glue (MICRO_AES_AEAD_FUSED=1:
+    batch pad, tail/lastadd masks, whitened-tag finalize) through the
+    interpret-mode kernel on CPU and pin the full CCM and EAX engines
+    against the per-message host oracles — ragged lengths, empty
+    payloads, mixed key sizes (signature-bound regrouping)."""
+    import os
+
+    from micro_aes_tpu.modes import bulk
+    from micro_aes_tpu.modes.ccm import ccm_encrypt
+    from micro_aes_tpu.modes.eax import eax_encrypt
+
+    rng = np.random.default_rng(73)
+    keys, nonces, aads, pts = [], [], [], []
+    # one key size: every interpret-mode kernel compile costs ~90 s on
+    # CPU, and mixed sizes regroup into one compile per size; the
+    # mixed-size regrouping itself is covered by the (cheap) legacy-path
+    # test above
+    for i, ln in enumerate([0, 1, 15, 16, 17, 33, 100]):
+        keys.append(rng.integers(0, 256, 16, dtype=np.uint8).tobytes())
+        nonces.append(rng.integers(0, 256, 11, dtype=np.uint8).tobytes())
+        aads.append(rng.integers(0, 256, (ln * 5) % 40,
+                                 dtype=np.uint8).tobytes())
+        pts.append(rng.integers(0, 256, ln, dtype=np.uint8).tobytes())
+    os.environ["MICRO_AES_AEAD_FUSED"] = "1"
+    try:
+        got = bulk.ccm_encrypt_batch(keys, nonces, aads, pts)
+        want = [ccm_encrypt(k, n, a, p)
+                for k, n, a, p in zip(keys, nonces, aads, pts)]
+        assert got == want
+        assert bulk.ccm_decrypt_batch(keys, nonces, aads, got) == pts
+        # tamper one tag -> None, others unaffected
+        bad = list(got)
+        bad[3] = bad[3][:-1] + bytes([bad[3][-1] ^ 1])
+        outs = bulk.ccm_decrypt_batch(keys, nonces, aads, bad)
+        assert outs[3] is None and outs[:3] == pts[:3]
+
+        nonces12 = [n + b"\x00" for n in nonces]
+        got = bulk.eax_encrypt_batch(keys, nonces12, aads, pts)
+        want = [eax_encrypt(k, n, a, p)
+                for k, n, a, p in zip(keys, nonces12, aads, pts)]
+        assert got == want
+        assert bulk.eax_decrypt_batch(keys, nonces12, aads, got) == pts
+        bad = list(got)
+        bad[5] = bad[5][:-1] + bytes([bad[5][-1] ^ 1])
+        outs = bulk.eax_decrypt_batch(keys, nonces12, aads, bad)
+        assert outs[5] is None and outs[4] == pts[4]
+    finally:
+        del os.environ["MICRO_AES_AEAD_FUSED"]
+
+
+def test_kw_wheel_kernel_matches_scan():
+    """The lane-packed KW wheel kernel (VERDICT r4 item 7: whole R
+    array VMEM-resident, one grid step per wheel step) is bit-exact vs
+    the vmapped _wrap_scan/_unwrap_scan oracles, wrap and unwrap, with
+    per-lane keys."""
+    import jax
+    import jax.numpy as jnp
+
+    from micro_aes_tpu.core.bitslice import key_planes_packed
+    from micro_aes_tpu.modes.bulk import stack_round_keys
+    from micro_aes_tpu.modes.kw import _unwrap_scan, _wrap_scan
+    from micro_aes_tpu.ops.pallas_chain import kw_packed_fused, wide_perm
+
+    rng = np.random.default_rng(83)
+    b, n = 256, 4  # w=8 -> tile 8: exercises the wide lane splits
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+            for _ in range(b)]
+    rks = stack_round_keys(keys)
+    kpw_w = jnp.asarray(key_planes_packed(rks[wide_perm(b)]))
+    secrets = rng.integers(0, 256, (b, n, 8), dtype=np.uint8)
+
+    got = np.asarray(kw_packed_fused(kpw_w, jnp.asarray(secrets)))
+    rksj = jnp.asarray(rks)
+    a0 = jnp.full((b, 8), 0xA6, jnp.uint8)
+    a, r = jax.vmap(lambda rk, av, rv: _wrap_scan(rk, av, rv, n))(
+        rksj, a0, jnp.asarray(secrets))
+    want = np.concatenate([np.asarray(a)[:, None, :], np.asarray(r)],
+                          axis=1)
+    assert np.array_equal(got, want)
+
+    back = np.asarray(kw_packed_fused(kpw_w, jnp.asarray(got),
+                                      unwrap=True))
+    au, ru = jax.vmap(lambda rk, av, rv: _unwrap_scan(rk, av, rv, n))(
+        rksj, jnp.asarray(want[:, 0]), jnp.asarray(want[:, 1:]))
+    assert np.array_equal(back[:, 0], np.asarray(au))
+    assert np.array_equal(back[:, 1:], np.asarray(ru))
+    assert np.all(back[:, 0] == 0xA6) and np.array_equal(back[:, 1:],
+                                                         secrets)
+
+
+def test_kw_batch_fused_gate_forced_on_cpu():
+    """key_wrap_batch/key_unwrap_batch through the kernel path
+    (MICRO_AES_KW_FUSED=1, batch padded to lanes) vs the scan path."""
+    import os
+
+    from micro_aes_tpu.modes.bulk import key_unwrap_batch, key_wrap_batch
+    from micro_aes_tpu.ops.pallas_chain import kw_kernel_fits
+
+    rng = np.random.default_rng(89)
+    b, n = 1000, 3  # pads to 1024 lanes; kernel-eligible
+    assert kw_kernel_fits(1024, n)
+    keks = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+            for _ in range(b)]
+    secrets = [rng.integers(0, 256, n * 8, dtype=np.uint8).tobytes()
+               for _ in range(b)]
+    want = key_wrap_batch(keks, secrets)
+    os.environ["MICRO_AES_KW_FUSED"] = "1"
+    try:
+        got = key_wrap_batch(keks, secrets)
+        assert got == want
+        back = key_unwrap_batch(keks, got)
+        assert back == secrets
+        bad = list(got)
+        bad[7] = bad[7][:1] + bytes([bad[7][1] ^ 1]) + bad[7][2:]
+        outs = key_unwrap_batch(keks, bad)
+        assert outs[7] is None and outs[6] == secrets[6]
+    finally:
+        del os.environ["MICRO_AES_KW_FUSED"]
