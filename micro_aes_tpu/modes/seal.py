@@ -189,9 +189,24 @@ def fused_seal_stream(kp, tables, j0, pt_stream, n: int,
     # tensor of the previous design never exists in HBM.
     w1, w2 = tables[0], tables[1]
     kp_flat = kp.reshape(-1, 1)
-    ctw, s1t = seal_fused_auto(kp_flat, j0c, lohi, ghmask,
-                               jnp.transpose(w1).astype(jnp.int8), pt_stream,
-                               bits_from_input=open_direction)
+    if jax.default_backend() == "tpu":
+        # transposed-stream kernel (VERDICT r4 item 4): two XLA 2D
+        # transposes at the boundary instead of two VMEM [TILE, 128]
+        # transposes per tile — measured 44.8 vs 34.7 GB/s kernel-side
+        # (tools/seal_t_ab.py); the boundary transposes cost far less
+        # than the per-tile forms they replace
+        from ..ops.pallas_seal import seal_fused_t
+
+        ctw_t, s1t = seal_fused_t(kp_flat, j0c, lohi, ghmask,
+                                  jnp.transpose(w1).astype(jnp.int8),
+                                  jnp.transpose(pt_stream),
+                                  bits_from_input=open_direction)
+        ctw = jnp.transpose(ctw_t)
+    else:
+        ctw, s1t = seal_fused_auto(kp_flat, j0c, lohi, ghmask,
+                                   jnp.transpose(w1).astype(jnp.int8),
+                                   pt_stream,
+                                   bits_from_input=open_direction)
 
     ek_j0 = jax.lax.bitcast_convert_type(ctw[0, 4:8], jnp.uint8).reshape(16)
 
@@ -302,8 +317,14 @@ def gcm_seal_kernel_fused(kp, tables, trail_adj_t, j0, pt_blocks,
 
 _gcm_seal_fused_jit = jax.jit(
     gcm_seal_kernel_fused, static_argnames=("open_direction", "aad_bytes"))
+# donate_argnums=4: the bytes APIs upload a fresh stream used nowhere
+# else, and the kernels alias their stream operand onto the output
+# (pallas input_output_aliases) — the TPU analogue of the reference's
+# in-place contract (micro_aes.h:520-526, VERDICT r4 item 6): one
+# stream-sized HBM buffer end to end instead of two, doubling the
+# maximum single-dispatch message.
 _gcm_seal_stream_jit = jax.jit(
-    gcm_seal_stream_fused,
+    gcm_seal_stream_fused, donate_argnums=(4,),
     static_argnames=("n", "open_direction", "aad_bytes"))
 
 

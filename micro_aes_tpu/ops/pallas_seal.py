@@ -448,6 +448,7 @@ def xex_fused(kp_flat, base_words, pt_words, decrypt: bool = False):
         ],
         out_specs=pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+            input_output_aliases={2: 0},
     )(_kp_rm(kp_flat), base_words, pt_words)
 
 
@@ -599,6 +600,7 @@ def siv_ctrw_fused(kp_flat, basew, pt_words):
         ],
         out_specs=pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+            input_output_aliases={2: 0},
     )(_kp_rm(kp_flat), basew, pt_words)
 
 
@@ -648,6 +650,7 @@ def siv_open_fused(kp_flat, basew, ghm, w1t, ct_words):
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
+            input_output_aliases={4: 0},
     )(_kp_rm(kp_flat), basew, ghm, w1t, ct_words)
 
 
@@ -742,6 +745,7 @@ def ocb_fused(kp_flat, d0l, lbl, pt_words, nbits: int,
         ],
         out_specs=pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+            input_output_aliases={3: 0},
     )(_kp_rm(kp_flat), d0l, lbl, pt_words)
 
 
@@ -800,6 +804,7 @@ def ctrw_fused(kp_flat, ctr_words, pt_words, decrypt: bool = False):
         ],
         out_specs=pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+            input_output_aliases={2: 0},
     )(_kp_rm(kp_flat), ctr_words, pt_words)
 
 
@@ -827,6 +832,7 @@ def ctr_fused(kp_flat, j0w, lohi, pt_words):
         ],
         out_specs=pl.BlockSpec((SEAL_TILE_W, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+            input_output_aliases={3: 0},
     )(_kp_rm(kp_flat), j0w, lohi, pt_words)
 
 
@@ -872,8 +878,170 @@ def seal_fused(kp_flat, j0_const, lohi, ghmask, w1t, pt_words,
             pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
+        input_output_aliases={5: 0},
     )(_kp_rm(kp_flat), j0_const, lohi, ghmask, w1t, pt_words)
     return ctw, s1
+
+
+# ---------------------------------------------------------------------------
+# Transposed-stream kernel variants (VERDICT r4 item 4).  The committed
+# kernels take w-major [W, 128] blocks (a pure bitcast of the byte
+# stream) and pay two [TILE, 128] VMEM transposes per tile.  These twins
+# take the stream TRANSPOSED ([128, W] resident, (128, TILE) blocks) and
+# skip the VMEM transposes entirely — measured 44.8 vs 34.7 GB/s for the
+# full GCM seal (tools/seal_t_ab.py, same session A/B; 0.76 of the VPU
+# roofline vs 0.59).  Callers either keep intermediates transposed
+# across multi-pass engines (GCM-SIV seal) or pay one XLA 2D transpose
+# at each boundary — cheaper than the per-tile VMEM form.
+# ---------------------------------------------------------------------------
+
+
+def _seal_kernel_t(rounds: int, bits_from_input: bool, kp_ref, j0c_ref,
+                   lohi_ref, ghm_ref, w1t_ref, ptw_ref, ctw_ref, s1_ref):
+    out128, s1 = _seal_math(rounds, bits_from_input, kp_ref, j0c_ref,
+                            lohi_ref[:], ghm_ref[0:1, :], w1t_ref[:],
+                            ptw_ref[:])
+    ctw_ref[:] = out128
+    s1_ref[:] = s1
+
+
+@functools.partial(jax.jit, static_argnames=("bits_from_input",))
+def seal_fused_t(kp_flat, j0_const, lohi, ghmask, w1t, pt_t,
+                 bits_from_input: bool = False):
+    """seal_fused on a TRANSPOSED stream: pt_t uint32[128, W] (column w
+    lane 4j+k = LE word k of block 32w+j) -> (out [128, W], s1)."""
+    rounds = kp_flat.shape[0] // 128 - 1
+    w = lohi.shape[-1]
+    assert w % SEAL_TILE_W == 0
+    return pl.pallas_call(
+        functools.partial(_seal_kernel_t, rounds, bits_from_input),
+        interpret=_interpret(),
+        out_shape=(jax.ShapeDtypeStruct((128, w), jnp.uint32),
+                   jax.ShapeDtypeStruct((128, w), jnp.int8)),
+        grid=(w // SEAL_TILE_W,),
+        in_specs=[
+            pl.BlockSpec((kp_flat.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, SEAL_TILE_W), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SEAL_TILE_W), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 4096), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+            input_output_aliases={5: 0},
+    )(_kp_rm(kp_flat), j0_const, lohi, ghmask, w1t, pt_t)
+
+
+def seal_fused_t_auto(kp_flat, j0_const, lohi, ghmask, w1t, pt_t,
+                      bits_from_input: bool = False):
+    """Backend dispatch for the transposed seal: off-TPU routes through
+    the (layout-agnostic) jnp twin via two XLA transposes."""
+    if jax.default_backend() == "tpu":
+        return seal_fused_t(kp_flat, j0_const, lohi, ghmask, w1t, pt_t,
+                            bits_from_input=bits_from_input)
+    ctw, s1 = seal_fused_jnp(kp_flat, j0_const, lohi, ghmask, w1t,
+                             jnp.transpose(pt_t),
+                             bits_from_input=bits_from_input)
+    return jnp.transpose(ctw), s1
+
+
+def _ghash_kernel_t(ghm_ref, w1t_ref, xw_ref, s1_ref):
+    x128 = xw_ref[:]
+    ct_planes = []
+    for k in range(4):
+        rows = [x128[4 * j + k: 4 * j + k + 1, :] for j in range(32)]
+        ct_planes.append(_butterfly_rows(rows))
+    s1_ref[:] = _ghash_level1(ct_planes, ghm_ref[0:1, :], w1t_ref[:])
+
+
+@jax.jit
+def ghash1_fused_t(ghm, w1t, x_t):
+    """ghash1_fused on a transposed [128, W] stream."""
+    w = x_t.shape[1]
+    assert w % SEAL_TILE_W == 0
+    return pl.pallas_call(
+        _ghash_kernel_t,
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((128, w), jnp.int8),
+        grid=(w // SEAL_TILE_W,),
+        in_specs=[
+            pl.BlockSpec((1, SEAL_TILE_W), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 4096), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(ghm, w1t, x_t)
+
+
+def ghash1_fused_t_auto(ghm, w1t, x_t):
+    if jax.default_backend() == "tpu":
+        return ghash1_fused_t(ghm, w1t, x_t)
+    return ghash1_fused_jnp(ghm, w1t, jnp.transpose(x_t))
+
+
+def _siv_ctr_tile_t(tile: int, col0, basew):
+    """Transposed twin of _siv_ctr_tile: [128, TILE] counter words
+    directly (lane l row layout: l = 4jj+k)."""
+    lanes = jax.lax.broadcasted_iota(jnp.uint32, (128, tile), 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, (128, tile), 1)
+    pos = 32 * (cols + col0) + lanes // 4
+    base = jnp.broadcast_to(jnp.transpose(basew), (128, tile))
+    return jnp.where(lanes % 4 == 0, base + pos, base)
+
+
+def _siv_ctr_kernel_t(rounds: int, kp_ref, basew_ref, ptw_ref, ctw_ref):
+    tile = ptw_ref.shape[1]
+    col0 = jnp.uint32(pl.program_id(0) * tile)
+    ctrw = _siv_ctr_tile_t(tile, col0, basew_ref[:])
+    p = _blocks_to_rm_planes(ctrw)
+    p = _cipher_rounds(rounds, kp_ref, p)
+    out128, _ = _xor_stream(p, ptw_ref[:], False)
+    ctw_ref[:] = out128
+
+
+@jax.jit
+def siv_ctrw_fused_t(kp_flat, basew, pt_t):
+    """siv_ctrw_fused on a transposed [128, W] stream."""
+    rounds = kp_flat.shape[0] // 128 - 1
+    w = pt_t.shape[1]
+    assert w % SEAL_TILE_W == 0
+    return pl.pallas_call(
+        functools.partial(_siv_ctr_kernel_t, rounds),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((128, w), jnp.uint32),
+        grid=(w // SEAL_TILE_W,),
+        in_specs=[
+            pl.BlockSpec((kp_flat.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, SEAL_TILE_W), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+            input_output_aliases={2: 0},
+    )(_kp_rm(kp_flat), basew, pt_t)
+
+
+def siv_ctrw_fused_t_auto(kp_flat, basew, pt_t):
+    if jax.default_backend() == "tpu":
+        return siv_ctrw_fused_t(kp_flat, basew, pt_t)
+    return jnp.transpose(siv_ctrw_fused_jnp(kp_flat, basew,
+                                            jnp.transpose(pt_t)))
 
 
 # row -> counter-plane source map (static): for plane row q = b*16 + pos,

@@ -250,3 +250,52 @@ def test_ctr_kernel_interpret_matches_jnp_twin():
     k = np.asarray(ctr_fused(kp_flat, j0w, lohi, ptw))
     j = np.asarray(ctr_fused_jnp(kp_flat, j0c, lohi, ptw))
     assert np.array_equal(k, j)
+
+
+def test_transposed_seal_kernels_match_committed():
+    """Transposed-stream kernel variants (VERDICT r4 item 4: [128, W]
+    resident, no per-tile VMEM transposes) vs the committed w-major
+    kernels — bit-equality for the full seal, the GHASH level-1 pass,
+    and the SIV CTR pass (interpret mode off-TPU)."""
+    from micro_aes_tpu.ops.pallas_seal import (
+        SEAL_TILE_W,
+        ghash1_fused,
+        ghash1_fused_t,
+        seal_fused,
+        seal_fused_t,
+        siv_ctrw_fused,
+        siv_ctrw_fused_t,
+    )
+
+    key = bytes(range(32))
+    kp, tables = gcm_key_setup(key)
+    kp_flat = kp.reshape(-1, 1)
+    w = SEAL_TILE_W
+    rng = np.random.default_rng(11)
+    lohi = jnp.stack([jnp.arange(w, dtype=jnp.uint32) * 32,
+                      jnp.asarray(rng.integers(0, 1 << 24, w,
+                                               dtype=np.uint32))])
+    ghm = jnp.asarray(rng.integers(0, 2**32, (1, w), dtype=np.uint32))
+    j0 = rng.integers(0, 256, 16, dtype=np.uint8)
+    j0c = jnp.asarray((((j0[:, None] >> np.arange(8)) & 1).T
+                       .reshape(128, 1).astype(np.uint32) * 0xFFFFFFFF)
+                      .astype(np.uint32))
+    ptw = jnp.asarray(rng.integers(0, 2**32, (w, 128), dtype=np.uint32))
+    w1t = jnp.transpose(tables[0]).astype(jnp.int8)
+
+    ct_a, s1_a = seal_fused(kp_flat, j0c, lohi, ghm, w1t, ptw)
+    ct_b, s1_b = seal_fused_t(kp_flat, j0c, lohi, ghm, w1t,
+                              jnp.transpose(ptw))
+    assert np.array_equal(np.asarray(jnp.transpose(ct_b)),
+                          np.asarray(ct_a))
+    assert np.array_equal(np.asarray(s1_b), np.asarray(s1_a))
+
+    s1_c = ghash1_fused(ghm, w1t, ptw)
+    s1_d = ghash1_fused_t(ghm, w1t, jnp.transpose(ptw))
+    assert np.array_equal(np.asarray(s1_d), np.asarray(s1_c))
+
+    basew = jnp.asarray(np.tile(rng.integers(0, 2**32, 4,
+                                             dtype=np.uint32), 32)[None, :])
+    y_a = siv_ctrw_fused(kp_flat, basew, ptw)
+    y_b = siv_ctrw_fused_t(kp_flat, basew, jnp.transpose(ptw))
+    assert np.array_equal(np.asarray(jnp.transpose(y_b)), np.asarray(y_a))
