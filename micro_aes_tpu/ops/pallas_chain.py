@@ -134,6 +134,31 @@ def _wide_to_rm_planes(x4, t: int):
     return [jnp.concatenate(pb, axis=0) for pb in p]
 
 
+def _wide5_to_rm_planes(x5):
+    """5D-block form: x5 [4, 32, T] (word k, bit-lane j, wg) -> 8
+    rm-layout [16, T] planes.  The j rows are contiguous sublane slices
+    (no lane arithmetic at all)."""
+    from .pallas_seal import _butterfly_rows
+
+    p = [[None] * 16 for _ in range(8)]
+    for k in range(4):
+        tr = _butterfly_rows([x5[k, j: j + 1, :] for j in range(32)])
+        for r in range(32):
+            p[r % 8][int(_RM[4 * k + r // 8])] = tr[r]
+    return [jnp.concatenate(pb, axis=0) for pb in p]
+
+
+def _store_rm_planes_wide5(p, y_ref):
+    """Planes -> the (1, 4, 1, 32, T) output block: per word k ONE dense
+    [32, T] store (axis-0 concat of the butterfly rows — the same dense
+    store shape the legacy kernel uses)."""
+    from .pallas_seal import _butterfly_rows, _rm_plane_bit_rows
+
+    for k in range(4):
+        back = _butterfly_rows(_rm_plane_bit_rows(p, k))
+        y_ref[0, k, 0, :, :] = jnp.concatenate(back, axis=0)
+
+
 def _rm_planes_to_wide_rows(p):
     """Inverse of _wide_to_rm_planes as a [4][32] list of [1, T] pieces
     (piece [k][j] = word k of the lane-j messages).  Callers store the
@@ -278,6 +303,7 @@ def chain_packed_fused(kind: str, kpw, ivs, blocks):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((128, tile), jnp.uint32)],
         compiler_params=_SEQ2,
+            input_output_aliases={2: 0},
     )(kpw2, c2, x)
     return _from_wordstream(y)
 
@@ -379,20 +405,26 @@ def _kw_kernel(rounds: int, t: int, n: int, unwrap: bool,
     VERDICT r4 item 7): one grid step per wheel step (6n total), the A
     register and the whole R semiblock array VMEM-resident per lane.
     Per step: assemble A||R[i] in word domain, cipher with per-lane
-    keys, split back, xor the BE64 step counter into A.  Word domain
-    throughout: the counter xor is one bswap'd u32 on A's second word
-    (t < 2^32 always — 6n wheel steps)."""
+    keys, split back, xor the BE64 step counter into A.  R[i] lives in
+    an 8-SUBLANE slot (rows 8i..8i+1 of r_sc): Mosaic requires dynamic
+    sublane starts provably 8-aligned, so the slots trade 4x scratch
+    padding for aligned pl.ds access (kw_tile shrinks the lane tile to
+    keep the budget).  The counter xor is one bswap'd u32 on A's second
+    word (t < 2^32 always — 6n wheel steps)."""
     s = pl.program_id(1)
     nsteps = 6 * n
 
     @pl.when(s == 0)
     def _():
         if unwrap:
-            a_sc[:] = x_ref[0:2, :]
-            r_sc[:] = x_ref[2:, :]
+            a_sc[0:2, :] = x_ref[0:2, :]
+            for i in range(n):
+                r_sc[8 * i: 8 * i + 2, :] = x_ref[2 + 2 * i: 4 + 2 * i, :]
         else:
-            a_sc[:] = jnp.full_like(a_sc, jnp.uint32(0xA6A6A6A6))
-            r_sc[:] = x_ref[:]
+            a_sc[0:2, :] = jnp.full((2, a_sc.shape[1]),
+                                    jnp.uint32(0xA6A6A6A6))
+            for i in range(n):
+                r_sc[8 * i: 8 * i + 2, :] = x_ref[2 * i: 2 * i + 2, :]
 
     su = s.astype(jnp.uint32)
     if unwrap:
@@ -403,10 +435,10 @@ def _kw_kernel(rounds: int, t: int, n: int, unwrap: bool,
         i_idx = su % jnp.uint32(n)
         tval = su + 1
 
-    a = a_sc[:]
+    a = a_sc[0:2, :]
     if unwrap:  # A ^= t BEFORE the inverse cipher (c:1877)
         a = jnp.concatenate([a[0:1, :], a[1:2, :] ^ _bswap32(tval)], axis=0)
-    ri = r_sc[pl.ds(2 * i_idx, 2), :]
+    ri = r_sc[pl.ds(8 * i_idx, 2), :]
     p = _wide_to_rm_planes(jnp.concatenate([a, ri], axis=0), t)
     p = (_cipher_lanekeys_dec if unwrap else _cipher_lanekeys)(
         rounds, kpw_ref, p)
@@ -416,13 +448,31 @@ def _kw_kernel(rounds: int, t: int, n: int, unwrap: bool,
         a_sc[0:1, sl] = rows[0][j]
         a_sc[1:2, sl] = (rows[1][j] if unwrap
                          else rows[1][j] ^ _bswap32(tval))
-        r_sc[pl.ds(2 * i_idx, 1), sl] = rows[2][j]
-        r_sc[pl.ds(2 * i_idx + 1, 1), sl] = rows[3][j]
+        r_sc[pl.ds(8 * i_idx, 2), sl] = jnp.concatenate(
+            [rows[2][j], rows[3][j]], axis=0)
 
     @pl.when(s == nsteps - 1)
     def _():
-        y_ref[0:2, :] = a_sc[:]
-        y_ref[2:, :] = r_sc[:]
+        y_ref[0:2, :] = a_sc[0:2, :]
+        for i in range(n):
+            y_ref[2 + 2 * i: 4 + 2 * i, :] = r_sc[8 * i: 8 * i + 2, :]
+
+
+def kw_tile(w: int, n: int) -> int:
+    """Lane tile for the KW kernel: the largest multiple-of-8 divisor of
+    w whose total VMEM residency (8-row R slots + A + in/out blocks)
+    stays under budget; 0 if none."""
+    t = wide_tile(w)
+    while t >= 8:
+        if (8 * n + 8 + 2 * (2 * n + 2) + 8) * 32 * t * 4 <= 10 * 2**20:
+            return t
+        nt = 0
+        for c in range(t - 8, 7, -8):
+            if w % c == 0:
+                nt = c
+                break
+        t = nt
+    return 0
 
 
 @functools.partial(jax.jit, static_argnames=("unwrap",))
@@ -436,7 +486,7 @@ def kw_packed_fused(kpw_w, data, unwrap: bool = False):
     b, nsb = data.shape[0], data.shape[1]
     n = nsb - 1 if unwrap else nsb
     w = b // 32
-    t = wide_tile(w)
+    t = kw_tile(w, n)
     rounds = kpw_w.shape[0] - 1
     kpw2 = _to_rm(kpw_w.reshape(-1, w))
     x = jnp.transpose(jax.lax.bitcast_convert_type(
@@ -454,8 +504,8 @@ def kw_packed_fused(kpw_w, data, unwrap: bool = False):
         ],
         out_specs=pl.BlockSpec((2 * n + 2, 32 * t), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, 32 * t), jnp.uint32),
-                        pltpu.VMEM((2 * n, 32 * t), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((8, 32 * t), jnp.uint32),
+                        pltpu.VMEM((8 * n, 32 * t), jnp.uint32)],
         compiler_params=_SEQ2,
     )(kpw2, x)
     return jax.lax.bitcast_convert_type(
@@ -463,20 +513,17 @@ def kw_packed_fused(kpw_w, data, unwrap: bool = False):
 
 
 def kw_kernel_fits(b: int, n: int) -> bool:
-    """Whether the KW wheel kernel's VMEM residency (input + output +
-    R scratch, ~3x the message set per word tile) stays within budget."""
-    t = wide_tile(b // 32)
-    if not wide_ok(b):
-        return False
-    return 3 * (2 * n + 2) * 32 * t * 4 <= 8 * 1024 * 1024
+    """Whether the KW wheel kernel applies: wide batch + a lane tile
+    whose VMEM residency (8-row R slots + in/out blocks) fits."""
+    return wide_ok(b) and kw_tile(b // 32, n) >= 32
 
 
-def _chain_kernel_w(kind: str, rounds: int, t: int, kpw_ref, c_ref,
+def _chain_kernel_w(kind: str, rounds: int, kpw_ref, c_ref,
                     x_ref, y_ref, carry_ref):
-    """Wide twin of _chain_kernel: x/y blocks are (4, 32T) slices of the
-    q-major u32[nb*4, B] array (bitcast + one 2D transpose from the
-    natural byte stream); the (j, wg) lane split is static lane slicing
-    in VMEM."""
+    """Wide twin of _chain_kernel: x/y blocks are (1, 4, 1, 32, T) views
+    of the q-major u32[nb, 4, w//T, 32, T] array (bitcast + ONE 2D
+    transpose + pure reshape from the natural byte stream); j-rows are
+    contiguous sublane slices and stores are dense [32, T] tiles."""
     step = pl.program_id(1)
 
     @pl.when(step == 0)
@@ -485,21 +532,17 @@ def _chain_kernel_w(kind: str, rounds: int, t: int, kpw_ref, c_ref,
 
     cf = carry_ref[:]
     carry = [cf[b * 16:(b + 1) * 16, :] for b in range(8)]
-    x4 = x_ref[0]
     if kind == "cbc":
-        xp = _wide_to_rm_planes(x4, t)
+        xp = _wide5_to_rm_planes(x_ref[...][0, :, 0])
         out = _cipher_lanekeys(
             rounds, kpw_ref, [carry[b] ^ xp[b] for b in range(8)])
     elif kind == "cfb":
         ks = _cipher_lanekeys(rounds, kpw_ref, carry)
-        xp = _wide_to_rm_planes(x4, t)
+        xp = _wide5_to_rm_planes(x_ref[...][0, :, 0])
         out = [ks[b] ^ xp[b] for b in range(8)]
     else:
         out = _cipher_lanekeys(rounds, kpw_ref, carry)
-    rows = _rm_planes_to_wide_rows(out)
-    for k in range(4):
-        for j in range(32):
-            y_ref[0, k: k + 1, j * t:(j + 1) * t] = rows[k][j]
+    _store_rm_planes_wide5(out, y_ref)
     carry_ref[:] = jnp.concatenate(out, axis=0)
 
 
@@ -523,7 +566,7 @@ def chain_packed_fused_wide(kind: str, kpw_w, ivs, blocks):
     # as (1, 4, 32T) over [nb, 4, B]
     x = _nat_to_qmajor(blocks).reshape(nb, 4, b)
     y = pl.pallas_call(
-        functools.partial(_chain_kernel_w, kind, rounds, t),
+        functools.partial(_chain_kernel_w, kind, rounds),
         interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((nb, 4, b), jnp.uint32),
         grid=(w // t, nb),
@@ -539,11 +582,12 @@ def chain_packed_fused_wide(kind: str, kpw_w, ivs, blocks):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((128, t), jnp.uint32)],
         compiler_params=_SEQ2,
+            input_output_aliases={2: 0},
     )(kpw2, c2, x)
     return _qmajor_to_nat(y.reshape(nb * 4, b), nb)
 
 
-def _ofb_kernel_w(rounds: int, t: int, kpw_ref, c_ref, y_ref, carry_ref):
+def _ofb_kernel_w(rounds: int, kpw_ref, c_ref, y_ref, carry_ref):
     step = pl.program_id(1)
 
     @pl.when(step == 0)
@@ -553,10 +597,7 @@ def _ofb_kernel_w(rounds: int, t: int, kpw_ref, c_ref, y_ref, carry_ref):
     cf = carry_ref[:]
     out = _cipher_lanekeys(
         rounds, kpw_ref, [cf[b * 16:(b + 1) * 16, :] for b in range(8)])
-    rows = _rm_planes_to_wide_rows(out)
-    for k in range(4):
-        for j in range(32):
-            y_ref[0, k: k + 1, j * t:(j + 1) * t] = rows[k][j]
+    _store_rm_planes_wide5(out, y_ref)
     carry_ref[:] = jnp.concatenate(out, axis=0)
 
 
@@ -572,18 +613,19 @@ def ofb_packed_fused_wide(kpw_w, ivs, nb: int):
     perm = jnp.asarray(wide_perm(b))
     kpw2 = _to_rm(kpw_w.reshape(-1, w))
     c2 = _to_rm(pack_planes(ivs[perm]).reshape(128, w))
+    nt = w // t
     y = pl.pallas_call(
-        functools.partial(_ofb_kernel_w, rounds, t),
+        functools.partial(_ofb_kernel_w, rounds),
         interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct((nb, 4, b), jnp.uint32),
-        grid=(w // t, nb),
+        out_shape=jax.ShapeDtypeStruct((nb, 4, nt, 32, t), jnp.uint32),
+        grid=(nt, nb),
         in_specs=[
             pl.BlockSpec((kpw2.shape[0], t), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, t), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4, 32 * t), lambda i, j: (j, 0, i),
+        out_specs=pl.BlockSpec((1, 4, 1, 32, t), lambda i, j: (j, 0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((128, t), jnp.uint32)],
         compiler_params=_SEQ2,
@@ -775,6 +817,7 @@ def aead_chain_fused(kind: str, kpw, c0, init, blocks, nvalid, tail,
         scratch_shapes=[pltpu.VMEM((128, tile), jnp.uint32),
                         pltpu.VMEM((128, tile), jnp.uint32)],
         compiler_params=_SEQ2,
+            input_output_aliases={7: 0},
     )(kpw2, c0w, initp, masks, lastm, tailp, lastp, x)
     out = _from_wordstream(y)
     tagb = unpack_planes(_to_rm(tag).reshape(8, 16, w), b)

@@ -97,6 +97,7 @@ def ctrw_fused_multikey(kp_stack, ctr_words, pt_words, b: int,
         out_specs=pl.BlockSpec((tile, 128),
                                lambda i, j, t=tiles_per_msg: (i * t + j, 0),
                                memory_space=pltpu.VMEM),
+            input_output_aliases={2: 0},
     )(_kp_rm(kp_stack), ctr_words, pt_words)
 
 
