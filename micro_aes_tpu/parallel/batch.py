@@ -96,3 +96,50 @@ def chain_sharded_fn(mesh: Mesh, kind: str):
         out_specs=P("dp"),
     )
     return jax.jit(fn)
+
+
+def aead_sharded_fn(mesh: Mesh, kind: str, decrypt: bool = False):
+    """Fused CCM/EAX batch engine (round-5: one pass producing the CTR
+    stream AND the CBC-MAC fold) over the mesh's `dp` axis: B
+    independent (key, counter-base, message) tuples split across
+    devices with zero collectives.  The local body is the jnp
+    composition (counter + vmapped cipher + masked fold) — the same
+    semantics the TPU kernel (ops/pallas_chain.aead_chain_fused)
+    implements in one VMEM pass, pinned bit-exact against it by
+    tests/test_chain_bulk.py.
+
+    Local args per shard: rks u8[Bl,R+1,16], c0/init/tail/lastadd
+    u8[Bl,16], blocks u8[Bl,nb,16], nvalid i32[Bl].
+    Returns (out u8[B,nb,16], tag u8[B,16])."""
+    import jax.numpy as jnp
+
+    from ..core.cipher import encrypt_blocks
+    from ..ops.counter import counter_blocks
+    from ..ops.mac import cbcmac_fold_batch
+
+    whiten = kind == "ccm"
+    mac_from_input = (kind == "ccm") != bool(decrypt)
+
+    def local(rks, c0, init, blocks, nvalid, tail, lastadd):
+        nb = blocks.shape[1]
+        nctr = nb + (1 if whiten else 0)
+        ctrs = jax.vmap(lambda b: counter_blocks(b, nctr, 0, "be"))(c0)
+        ks_all = jax.vmap(encrypt_blocks)(rks, ctrs)
+        ks = ks_all[:, 1:] if whiten else ks_all
+        out = blocks ^ ks
+        macsrc = blocks if mac_from_input else out
+        last = (jnp.arange(nb)[None, :]
+                == (nvalid - 1)[:, None])[:, :, None]
+        fin = (macsrc & tail[:, None, :]) ^ lastadd[:, None, :]
+        macin = jnp.where(last, fin, macsrc)
+        mac = cbcmac_fold_batch(rks, init, macin, nvalid)
+        tag = (ks_all[:, 0] ^ mac) if whiten else mac
+        return out, tag
+
+    fn = shard_map_nocheck(
+        local, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                  P("dp")),
+        out_specs=(P("dp"), P("dp")),
+    )
+    return jax.jit(fn)

@@ -183,6 +183,72 @@ def _trace_chain_step(rounds: int, tile: int):
     return count_jaxpr(jx.jaxpr), 512 * tile
 
 
+def _trace_aead_step(rounds: int, tile: int):
+    """ops for one fused CTR+CBC-MAC grid step (r5 CCM/EAX kernel: in-
+    kernel BE counters -> cipher (keystream) -> xor-stream + masked
+    second cipher for the MAC carry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from micro_aes_tpu.ops import pallas_chain as pch
+    from micro_aes_tpu.ops import pallas_seal as ps
+
+    kpw = jnp.zeros(((rounds + 1) * 128, tile), jnp.uint32)
+    c0 = jnp.zeros((128, tile), jnp.uint32)
+    x = jnp.zeros((128, tile), jnp.uint32)
+    tailp = jnp.zeros((128, tile), jnp.uint32)
+    lastp = jnp.zeros((128, tile), jnp.uint32)
+    mrow = jnp.zeros((1, tile), jnp.uint32)
+    lrow = jnp.zeros((1, tile), jnp.uint32)
+    carry = [jnp.zeros((16, tile), jnp.uint32) for _ in range(8)]
+    step = jnp.uint32(3)
+
+    def fn(kpw, c0, x, tailp, lastp, mrow, lrow, step, *carry):
+        ks = pch._cipher_lanekeys(
+            rounds, kpw,
+            pch._rows_to_rm_planes(pch._aead_ctr_rows(c0, step)))
+        xp = ps._blocks_to_rm_planes(x)
+        outp = [ks[b] ^ xp[b] for b in range(8)]
+        y = ps._rm_planes_to_stream(outp)
+        macin = []
+        for b in range(8):
+            tp = tailp[b * 16:(b + 1) * 16, :]
+            lp = lastp[b * 16:(b + 1) * 16, :]
+            fin = (xp[b] & tp) ^ lp
+            macin.append(xp[b] ^ (lrow & (xp[b] ^ fin)))
+        m2 = pch._cipher_lanekeys(
+            rounds, kpw, [carry[b] ^ macin[b] for b in range(8)])
+        nc = [carry[b] ^ (mrow & (m2[b] ^ carry[b])) for b in range(8)]
+        return y, nc
+
+    jx = jax.make_jaxpr(fn)(kpw, c0, x, tailp, lastp, mrow, lrow, step,
+                            *carry)
+    return count_jaxpr(jx.jaxpr), 512 * tile
+
+
+def _trace_kw_step(rounds: int, tile: int):
+    """ops for one KW wheel step (assemble A||R[i], cipher, split).
+    Normalization: a full wrap of n semiblocks runs 6n steps, touching
+    every semiblock SIX times — payload bytes per step = 8n/6n = 4/3
+    per lane, so this row's speed-of-light is directly comparable to
+    the batch engine's payload rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from micro_aes_tpu.ops import pallas_chain as pch
+
+    kpw = jnp.zeros(((rounds + 1) * 128, tile), jnp.uint32)
+    x4 = jnp.zeros((4, 32 * tile), jnp.uint32)
+
+    def fn(kpw, x4):
+        p = pch._wide_to_rm_planes(x4, tile)
+        p = pch._cipher_lanekeys(rounds, kpw, p)
+        return pch._rm_planes_to_wide_rows(p)
+
+    jx = jax.make_jaxpr(fn)(kpw, x4)
+    return count_jaxpr(jx.jaxpr), 128 * tile // 3  # 4/3 B/lane/step
+
+
 VPU_OPS_PER_CYCLE = 8 * 128 * 4     # (8,128) positions x 4 ALUs
 CLOCK_GHZ = 1.5                     # derived: 197e12 / (2*4*128*128)
 VPU_OPS_PER_S = VPU_OPS_PER_CYCLE * CLOCK_GHZ * 1e9
@@ -244,6 +310,12 @@ def main(argv=None):
     c, nb = _trace_chain_step(14, min(args.tile, 128))
     rows.append(roofline_row("AES-256-CBC chain step", c, nb,
                              measured.get("chain")))
+    c, nb = _trace_aead_step(10, min(args.tile, 128))
+    rows.append(roofline_row("AES-128 fused CTR+CBC-MAC step (CCM/EAX)",
+                             c, nb, measured.get("aead")))
+    c, nb = _trace_kw_step(10, min(args.tile, 128))
+    rows.append(roofline_row("AES-128 KW wheel step", c, nb,
+                             measured.get("kw")))
     print(json.dumps({"model": {
         "vpu_ops_per_s": VPU_OPS_PER_S,
         "mxu_macs_per_s": MXU_MACS_PER_S,
