@@ -56,37 +56,11 @@ timeit("legacy chain_packed_fused (cbc)",
 timeit("wide chain_packed_fused_wide (cbc)",
        lambda c: pc.chain_packed_fused_wide("cbc", kpw_w, ivs, c), blocks0)
 
-# kernel-alone ceiling for the wide form (q-major stream in/out)
+
+
 t = pc.wide_tile(w)
-kpw2 = pc._to_rm(kpw_w.reshape(-1, w))
-c2 = pc._to_rm(pack_planes(ivs).reshape(128, w))
-x0q = jnp.zeros((nb, 4, bm), jnp.uint32)
-
-
-def kernel_only_wide(x):
-    return pl.pallas_call(
-        functools.partial(pc._chain_kernel_w, "cbc", rounds, t),
-        out_shape=jax.ShapeDtypeStruct((nb, 4, bm), jnp.uint32),
-        grid=(w // t, nb),
-        in_specs=[
-            pl.BlockSpec((kpw2.shape[0], t), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, t), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, 32 * t), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 4, 32 * t), lambda i, j: (j, 0, i),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((128, t), jnp.uint32)],
-        compiler_params=pc._SEQ2,
-    )(kpw2, c2, x)
-
-
-timeit("wide kernel alone (q-major in/out)", kernel_only_wide, x0q)
-
-
 kpw2l = pc._to_rm(kpw.reshape(-1, w))
+c2 = pc._to_rm(pack_planes(ivs).reshape(128, w))
 x0l = jnp.zeros((nb, 128, w), jnp.uint32)
 
 
