@@ -580,15 +580,18 @@ def bench_modes(selected):
         if "kw-batch" in selected:
             # lane-packed RFC-3394 wheel: 6n serial one-block steps per
             # message, whole R array VMEM-resident (the r4 scan form was
-            # correct but perf-dark and unusable at scale)
-            nsem = 64  # 512 B secrets
-            kpw_kw = jnp.asarray(key_planes_packed(rksw[wide_perm(bw)]))
-            sec0 = jnp.zeros((bw, nsem, 8), jnp.uint8)
+            # correct but perf-dark and unusable at scale).  2048 msgs:
+            # the VMEM budget at n=64 wants the 64-word lane tile.
+            bk2, nsem = 2048, 64  # 512 B secrets
+            rksk = stack_round_keys(wkeys[:bk2])
+            kpw_kw = jnp.asarray(key_planes_packed(
+                rksk[wide_perm(bk2)]))
+            sec0 = jnp.zeros((bk2, nsem, 8), jnp.uint8)
 
             def step(c):
                 return c ^ kw_packed_fused(kpw_kw, c)[:, 1:, :]
-            _emit("AES-128-KW batch wrap, 4096 x 512 B (device-resident)",
-                  _marginal_rate(loop_of(step), sec0, bw * nsem * 8))
+            _emit("AES-128-KW batch wrap, 2048 x 512 B (device-resident)",
+                  _marginal_rate(loop_of(step), sec0, bk2 * nsem * 8))
 
         if "cmac-batch" in selected:
             nbc = 256  # 4 KiB messages
@@ -609,12 +612,11 @@ def bench_modes(selected):
         if "siv-batch" in selected:
             # S2V (three CMAC stages, micro_aes.c:1324-1360) + SIV-CTR
             # keystream, all device-resident
-            from micro_aes_tpu.modes.bulk import (
-                _kp_stack_dev,
-                _multikey_cipher_core,
+            from micro_aes_tpu.modes.bulk import _kp_stack_dev, _mk_ctrw_be
+            from micro_aes_tpu.ops.pallas_multikey import (
+                ctrw_fused_multikey_auto,
+                mk_window_words,
             )
-            from micro_aes_tpu.ops.counter import counter_blocks
-            from micro_aes_tpu.ops.mac import double_be_np
 
             nbs = 256
             k1s, k2s = _eax_subkeys(rkswj, bw)
@@ -633,7 +635,8 @@ def bench_modes(selected):
                         == nbs - 1).astype(jnp.uint8)
             nvs = jnp.full(bw, nbs, jnp.int32)
             kp_stack_s = _kp_stack_dev(wkeys)
-            dbl = jnp.asarray(double_be_np(np.zeros((1, 16), np.uint8)))
+
+            wms = mk_window_words(nbs)
 
             def step(ptj):
                 y0 = foldw(zeros16w, y0blk, one_s)
@@ -645,9 +648,13 @@ def bench_modes(selected):
                 iv = foldw(zeros16w, ptj ^ lastadd, nvs)
                 bases = iv.at[:, 8].set(iv[:, 8] & 0x7F)
                 bases = bases.at[:, 12].set(bases[:, 12] & 0x7F)
-                ctrs = jax.vmap(
-                    lambda b: counter_blocks(b, nbs, 0, "be"))(bases)
-                ks = _multikey_cipher_core(kp_stack_s, ctrs, bw, nbs)
+                # counters in the window layout (no u8 materialization)
+                ctrw = _mk_ctrw_be(bases, bw, wms)
+                out = ctrw_fused_multikey_auto(
+                    kp_stack_s, ctrw, jnp.zeros_like(ctrw), bw)
+                o = out.reshape(bw, wms * 128)[:, : nbs * 4]
+                ks = jax.lax.bitcast_convert_type(o, jnp.uint8).reshape(
+                    bw, nbs, 16)
                 return (ptj ^ ks) ^ iv[:, None, :]
             _emit("AES-SIV batch seal (S2V+CTR), 4096 x 4 KiB "
                   "(device-resident)",

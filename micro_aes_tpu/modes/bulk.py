@@ -966,18 +966,73 @@ def _siv_split(keys) -> tuple[list[bytes], list[bytes]]:
             [k[len(k) // 2:] for k in keys])
 
 
+def _bswap32_j(x):
+    return ((x << 24) | ((x & 0xFF00) << 8) | ((x >> 8) & 0xFF00)
+            | (x >> 24))
+
+
+def _mk_ctrw_be(bases, b: int, wm: int):
+    """BE-counter words directly in the multikey kernel's window layout
+    (u32[B*wm, 128], lane 4jj+k = word k of block 32*row+jj): the
+    position adds into bswap'd word 3 with the reference's 56-bit carry
+    into the low 24 bits of word 2 (incBlock, micro_aes.c:421-428).
+    Pure iota/broadcast math — the r4 path materialized [B, nb, 16] u8
+    counters via vmapped counter_blocks and re-laid them out, which
+    cost more than the cipher itself (the SIV batch row measured
+    2.2 GB/s against the same kernel's 20-30)."""
+    rows = b * wm
+    bw = jax.lax.bitcast_convert_type(
+        jnp.asarray(bases).reshape(b, 4, 4), jnp.uint32)      # [B, 4] LE
+    full = jnp.tile(jnp.broadcast_to(bw[:, None, :], (b, wm, 4))
+                    .reshape(rows, 4), (1, 32))               # lane->word l%4
+    lanes = jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 1)
+    jj, k = lanes // 4, lanes % 4
+    pos = ((jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 0)
+            % jnp.uint32(wm)) * 32 + jj)
+    # the carry chain needs each lane to see ITS block's word-3 value,
+    # so broadcast base words 3 and 2 to every lane and select at the end
+    b3full = jnp.broadcast_to(
+        jnp.broadcast_to(bw[:, None, 3], (b, wm)).reshape(rows, 1),
+        (rows, 128))
+    t3 = _bswap32_j(b3full)
+    v3 = t3 + pos
+    c3 = (v3 < t3).astype(jnp.uint32)
+    b2full = jnp.broadcast_to(
+        jnp.broadcast_to(bw[:, None, 2], (b, wm)).reshape(rows, 1),
+        (rows, 128))
+    t2 = _bswap32_j(b2full)
+    hi = (t2 + c3) & jnp.uint32(0xFFFFFF)
+    w2 = _bswap32_j((t2 & jnp.uint32(0xFF000000)) | hi)
+    w3 = _bswap32_j(v3)
+    return jnp.where(k == 3, w3, jnp.where(k == 2, w2, full))
+
+
 def _siv_keystreams(k2s: list[bytes], ivs: np.ndarray, lens: list[int]):
     """SIV-convention CTR keystreams (bits 63/31 cleared, BE count —
-    micro_aes.c:931-934) for B messages, through the multikey kernel."""
+    micro_aes.c:931-934) for B messages, through the multikey kernel
+    with counters generated in the window layout (no u8 counter
+    materialization)."""
+    from ..ops.pallas_multikey import ctrw_fused_multikey_auto, mk_window_words
+
     bases = ivs.copy()
     bases[:, 8] &= 0x7F
     bases[:, 12] &= 0x7F
     nks = max(((n + BLOCK - 1) // BLOCK for n in lens), default=0)
     if not nks:
         return None
-    ctrs = jax.vmap(lambda b: counter_blocks(b, nks, 0, "be"))(
-        jnp.asarray(bases))
-    return np.asarray(cipher_blocks_multikey_dev(k2s, ctrs))
+    b = len(k2s)
+    if (not _multikey_dev_gate() or nks < 32 or b * nks < 2048
+            or len({len(k) for k in k2s}) > 1):
+        ctrs = jax.vmap(lambda bb: counter_blocks(bb, nks, 0, "be"))(
+            jnp.asarray(bases))
+        return np.asarray(cipher_blocks_multikey_dev(k2s, ctrs))
+    wm = mk_window_words(nks)
+    ctrw = _mk_ctrw_be(bases, b, wm)
+    out = ctrw_fused_multikey_auto(_kp_stack_dev(k2s), ctrw,
+                                   jnp.zeros_like(ctrw), b)
+    o = out.reshape(b, wm * 128)[:, : nks * 4]
+    return np.asarray(jax.lax.bitcast_convert_type(o, jnp.uint8)
+                      .reshape(b, nks, BLOCK))
 
 
 @_regroup_mixed_keys(2)

@@ -459,19 +459,17 @@ def _kw_kernel(rounds: int, t: int, n: int, unwrap: bool,
 
 
 def kw_tile(w: int, n: int) -> int:
-    """Lane tile for the KW kernel: the largest multiple-of-8 divisor of
-    w whose total VMEM residency (8-row R slots + A + in/out blocks)
+    """Lane tile for the KW kernel: the largest divisor of w that is
+    EITHER w itself or a multiple of 128 (Mosaic's lane-dim block rule)
+    whose total VMEM residency (8-row R slots + A + in/out blocks)
     stays under budget; 0 if none."""
-    t = wide_tile(w)
-    while t >= 8:
+    cands = [w] + [t for t in range(128 * (w // 128), 0, -128)
+                   if w % t == 0 and t != w]
+    for t in cands:
+        if t % 8:
+            continue
         if (8 * n + 8 + 2 * (2 * n + 2) + 8) * 32 * t * 4 <= 10 * 2**20:
             return t
-        nt = 0
-        for c in range(t - 8, 7, -8):
-            if w % c == 0:
-                nt = c
-                break
-        t = nt
     return 0
 
 
@@ -561,28 +559,30 @@ def chain_packed_fused_wide(kind: str, kpw_w, ivs, blocks):
     perm = jnp.asarray(wide_perm(b))
     kpw2 = _to_rm(kpw_w.reshape(-1, w))
     c2 = _to_rm(pack_planes(ivs[perm]).reshape(128, w))
-    # 3D [nb, 4, B] view: Mosaic's block rule wants dim -2 divisible by
-    # 8 OR equal to the array dim — the (4, 32T) step block satisfies it
-    # as (1, 4, 32T) over [nb, 4, B]
-    x = _nat_to_qmajor(blocks).reshape(nb, 4, b)
+    # 5D [nb, 4, w//T, 32, T] view (pure reshape of the 2D-transposed
+    # natural stream: m = i*32T + j*T + wg splits as (i, j, wg)); block
+    # (1, 4, 1, 32, T) keeps j-rows on sublanes, stores dense [32, T]
+    # tiles, and satisfies Mosaic's minor-dim block rule
+    nt = w // t
+    x = _nat_to_qmajor(blocks).reshape(nb, 4, nt, 32, t)
     y = pl.pallas_call(
         functools.partial(_chain_kernel_w, kind, rounds),
         interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct((nb, 4, b), jnp.uint32),
-        grid=(w // t, nb),
+        out_shape=jax.ShapeDtypeStruct((nb, 4, nt, 32, t), jnp.uint32),
+        grid=(nt, nb),
         in_specs=[
             pl.BlockSpec((kpw2.shape[0], t), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, t), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, 32 * t), lambda i, j: (j, 0, i),
+            pl.BlockSpec((1, 4, 1, 32, t), lambda i, j: (j, 0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4, 32 * t), lambda i, j: (j, 0, i),
+        out_specs=pl.BlockSpec((1, 4, 1, 32, t), lambda i, j: (j, 0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((128, t), jnp.uint32)],
         compiler_params=_SEQ2,
-            input_output_aliases={2: 0},
+        input_output_aliases={2: 0},
     )(kpw2, c2, x)
     return _qmajor_to_nat(y.reshape(nb * 4, b), nb)
 
