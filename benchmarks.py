@@ -133,10 +133,17 @@ def bench_modes(selected):
     ptw0 = jnp.zeros((w, 128), jnp.uint32)
 
     def loop_of(step):
+        # optimization_barrier between iterations: consecutive steps
+        # otherwise cancel algebraically across the loop (e.g. the seal
+        # wrapper's boundary transposes compose to identity between
+        # iterations), which would measure kernel-only rates instead of
+        # the per-call cost a real caller pays
         def make(reps):
             @jax.jit
             def loop(x):
-                return jax.lax.fori_loop(0, reps, lambda _, c: step(c), x)
+                return jax.lax.fori_loop(
+                    0, reps,
+                    lambda _, c: jax.lax.optimization_barrier(step(c)), x)
             return loop
         return make
 
@@ -612,11 +619,7 @@ def bench_modes(selected):
         if "siv-batch" in selected:
             # S2V (three CMAC stages, micro_aes.c:1324-1360) + SIV-CTR
             # keystream, all device-resident
-            from micro_aes_tpu.modes.bulk import _kp_stack_dev, _mk_ctrw_be
-            from micro_aes_tpu.ops.pallas_multikey import (
-                ctrw_fused_multikey_auto,
-                mk_window_words,
-            )
+            from micro_aes_tpu.ops.pallas_chain import ctr_packed_fused
 
             nbs = 256
             k1s, k2s = _eax_subkeys(rkswj, bw)
@@ -634,9 +637,6 @@ def bench_modes(selected):
             onehot_s = (jnp.arange(nbs)[None, :, None]
                         == nbs - 1).astype(jnp.uint8)
             nvs = jnp.full(bw, nbs, jnp.int32)
-            kp_stack_s = _kp_stack_dev(wkeys)
-
-            wms = mk_window_words(nbs)
 
             def step(ptj):
                 y0 = foldw(zeros16w, y0blk, one_s)
@@ -648,14 +648,10 @@ def bench_modes(selected):
                 iv = foldw(zeros16w, ptj ^ lastadd, nvs)
                 bases = iv.at[:, 8].set(iv[:, 8] & 0x7F)
                 bases = bases.at[:, 12].set(bases[:, 12] & 0x7F)
-                # counters in the window layout (no u8 materialization)
-                ctrw = _mk_ctrw_be(bases, bw, wms)
-                out = ctrw_fused_multikey_auto(
-                    kp_stack_s, ctrw, jnp.zeros_like(ctrw), bw)
-                o = out.reshape(bw, wms * 128)[:, : nbs * 4]
-                ks = jax.lax.bitcast_convert_type(o, jnp.uint8).reshape(
-                    bw, nbs, 16)
-                return (ptj ^ ks) ^ iv[:, None, :]
+                # lane-packed CTR kernel (r5): in-kernel per-lane
+                # counters, full-width tiles at any message size
+                ct = ctr_packed_fused(kpww, bases, ptj)
+                return ct ^ iv[:, None, :]
             _emit("AES-SIV batch seal (S2V+CTR), 4096 x 4 KiB "
                   "(device-resident)",
                   _marginal_rate(loop_of(step),
@@ -857,6 +853,7 @@ def main(argv=None):
                                  "gcm-multikey",
                                  "poly1305", "fpe", "cbc-chains", "ccm-batch",
                                  "eax-batch", "ccm-batch-dev", "eax-batch-dev",
+                                 "kw-batch", "cmac-batch", "siv-batch",
                                  "tunnel-cap", "cipher"])
     args = parser.parse_args(argv)
     if args.cpu:

@@ -1021,11 +1021,24 @@ def _siv_keystreams(k2s: list[bytes], ivs: np.ndarray, lens: list[int]):
     if not nks:
         return None
     b = len(k2s)
-    if (not _multikey_dev_gate() or nks < 32 or b * nks < 2048
+    if (not _multikey_dev_gate() or nks < 4 or b * nks < 2048
             or len({len(k) for k in k2s}) > 1):
         ctrs = jax.vmap(lambda bb: counter_blocks(bb, nks, 0, "be"))(
             jnp.asarray(bases))
         return np.asarray(cipher_blocks_multikey_dev(k2s, ctrs))
+    if b % 32 == 0:
+        # lane-packed CTR kernel: in-kernel per-lane counters, full
+        # 128-lane tiles regardless of the per-message window size (the
+        # mk-window kernel degrades to 8-row grid steps at small nks)
+        from ..ops.mac import _kpw_cached
+        from ..ops.pallas_chain import ctr_packed_fused
+
+        rks_np = stack_round_keys(k2s)
+        kpw = jnp.asarray(_kpw_cached(rks_np.tobytes(), b,
+                                      rks_np.shape[1]))
+        out = ctr_packed_fused(kpw, jnp.asarray(bases),
+                               jnp.zeros((b, nks, BLOCK), jnp.uint8))
+        return np.asarray(out)
     wm = mk_window_words(nks)
     ctrw = _mk_ctrw_be(bases, b, wm)
     out = ctrw_fused_multikey_auto(_kp_stack_dev(k2s), ctrw,

@@ -661,6 +661,55 @@ def _aead_ctr_rows(c0_ref, stepval):
     return rows
 
 
+def _ctr_chain_kernel(rounds: int, kpw_ref, c0_ref, x_ref, y_ref):
+    """Lane-packed multi-message CTR: per grid step, BE counters from
+    each lane's base (in-kernel, the 56-bit incBlock contract) ->
+    per-lane cipher -> xor the data block.  No carry, so the grid is
+    free to parallelize — this is the keystream half of _aead_kernel
+    without the MAC cipher (round 5: the mk-window kernel degrades to
+    tiny 8-row grid steps on small per-message windows, which is what
+    capped the composed SIV batch at ~2.4 GB/s)."""
+    step = pl.program_id(1)
+    ks = _cipher_lanekeys(
+        rounds, kpw_ref,
+        _rows_to_rm_planes(_aead_ctr_rows(c0_ref, step.astype(jnp.uint32))))
+    xp = _blocks_to_rm_planes(x_ref[0])
+    y_ref[0] = _rm_planes_to_stream([ks[b] ^ xp[b] for b in range(8)])
+
+
+@jax.jit
+def ctr_packed_fused(kpw, c0, blocks):
+    """Lane-packed multi-message CTR keystream-xor: kpw uint32[R+1,8,16,W]
+    (key_planes_packed), c0 uint8[B,16] per-message counter bases
+    (counter for block i = base + i under the BE contract), blocks
+    uint8[B,nb,16] (zeros give the raw keystream); B % 32 == 0."""
+    b, nb = blocks.shape[0], blocks.shape[1]
+    w = b // 32
+    rounds = kpw.shape[0] - 1
+    tile = _tile_for(w)
+    kpw2 = _to_rm(kpw.reshape(-1, w))
+    c0w = _to_wordstream(c0[:, None, :])[0]
+    x = _to_wordstream(blocks)
+    y = pl.pallas_call(
+        functools.partial(_ctr_chain_kernel, rounds),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((nb, 128, w), jnp.uint32),
+        grid=(w // tile, nb),
+        in_specs=[
+            pl.BlockSpec((kpw2.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={2: 0},
+    )(kpw2, c0w, x)
+    return _from_wordstream(y)
+
+
 def _rows_to_rm_planes(rows):
     """128 word rows (order 4j+k, each [1, TILE]) -> 8 rm-layout
     [16, TILE] planes (the list form of pallas_seal._blocks_to_rm_planes)."""
