@@ -153,7 +153,11 @@ def _run(profile: str) -> None:
     def loop(kp, tables, j0, ptw, reps):
         def body(_, carry):
             ctw, tag = step(kp, tables, j0, carry)
-            return ctw  # feed ciphertext back: keeps every iteration live
+            # the barrier stops consecutive iterations from cancelling
+            # algebraically (the r5 seal wrapper's boundary transposes
+            # compose to identity across iterations otherwise, which
+            # would measure the kernel-only rate, not the per-call one)
+            return jax.lax.optimization_barrier(ctw)
         return step(kp, tables, j0, jax.lax.fori_loop(0, reps - 1, body, ptw))
 
     # The remote-execution tunnel adds a large FIXED latency per dispatch
