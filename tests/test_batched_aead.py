@@ -245,6 +245,7 @@ def test_ccm_prefix_batch_matches_per_message():
             assert not pb[i, nv1[i]:].any()
 
 
+@pytest.mark.full
 def test_fused_aead_engines_forced_on_cpu():
     """Force the fused CTR+CBC-MAC engine glue (MICRO_AES_AEAD_FUSED=1:
     batch pad, tail/lastadd masks, whitened-tag finalize) through the
@@ -336,6 +337,7 @@ def test_kw_wheel_kernel_matches_scan():
                                                          secrets)
 
 
+@pytest.mark.full
 def test_kw_batch_fused_gate_forced_on_cpu():
     """key_wrap_batch/key_unwrap_batch through the kernel path
     (MICRO_AES_KW_FUSED=1, batch padded to lanes) vs the scan path."""

@@ -240,10 +240,17 @@ def test_cbcmac_kernel_interpret_matches_fold():
     assert np.array_equal(got, want)
 
 
-@pytest.mark.quick
-@pytest.mark.parametrize("kind,decrypt", [("ccm", False), ("ccm", True),
-                                          ("eax", False), ("eax", True)])
+@pytest.mark.parametrize("kind,decrypt", [
+    pytest.param("ccm", False, marks=pytest.mark.quick),
+    pytest.param("ccm", True, marks=pytest.mark.full),
+    pytest.param("eax", False, marks=pytest.mark.quick),
+    pytest.param("eax", True, marks=pytest.mark.full),
+])
 def test_aead_chain_kernel_interpret_matches_composition(kind, decrypt):
+    # default tier covers both MAC sides (CCM seal folds input, EAX seal
+    # folds output) and whiten on/off; the two open directions run
+    # nightly (-m full) — each param costs a ~90 s interpret compile on
+    # the 2-core CI box
     """The fused CTR+CBC-MAC kernel (one VMEM pass: keystream xor AND
     the auth fold, VERDICT r4 item 1) is bit-exact vs the composition of
     the primitives it replaces: counter_blocks('be') + vmapped cipher +
@@ -300,7 +307,7 @@ def test_aead_chain_kernel_interpret_matches_composition(kind, decrypt):
     assert np.array_equal(got_tag, want_tag), "tag mismatch"
 
 
-@pytest.mark.quick
+@pytest.mark.full
 def test_wide_chain_kernels_match_legacy():
     """Wide-layout chain kernels (one 2D transpose + in-kernel lane
     slicing, VERDICT r4 item 2) vs the legacy interleave wrappers:
