@@ -617,9 +617,14 @@ def bench_modes(selected):
                                  bw * nbc * 16))
 
         if "siv-batch" in selected:
-            # S2V (three CMAC stages, micro_aes.c:1324-1360) + SIV-CTR
-            # keystream, all device-resident
-            from micro_aes_tpu.ops.pallas_chain import ctr_packed_fused
+            # S2V (micro_aes.c:1324-1360) + SIV-CTR in ONE fused
+            # two-phase VMEM kernel (r5 continuation; same-process A/B
+            # vs the composed cbcmac+ctr engine in tools/siv_fused_ab.py:
+            # seal 24.9 vs 15.8, open 21.6 vs 16.1 GB/s)
+            from micro_aes_tpu.ops.pallas_chain import (
+                siv_open_chain_fused,
+                siv_seal_chain_fused,
+            )
 
             nbs = 256
             k1s, k2s = _eax_subkeys(rkswj, bw)
@@ -638,23 +643,37 @@ def bench_modes(selected):
                         == nbs - 1).astype(jnp.uint8)
             nvs = jnp.full(bw, nbs, jnp.int32)
 
-            def step(ptj):
-                y0 = foldw(zeros16w, y0blk, one_s)
-                amac = foldw(zeros16w, aadblk, one_s)
+            ones16s = jnp.full((bw, 16), 0xFF, jnp.uint8)
+            zerosbs = jnp.zeros((bw, 16), jnp.uint8)
+
+            def s2v_y():
                 from micro_aes_tpu.ops.gf128 import double_be
 
-                y = double_be(y0) ^ amac
-                lastadd = (y ^ jnp.asarray(k1s_np))[:, None, :] * onehot_s
-                iv = foldw(zeros16w, ptj ^ lastadd, nvs)
-                bases = iv.at[:, 8].set(iv[:, 8] & 0x7F)
-                bases = bases.at[:, 12].set(bases[:, 12] & 0x7F)
-                # lane-packed CTR kernel (r5): in-kernel per-lane
-                # counters, full-width tiles at any message size
-                ct = ctr_packed_fused(kpww, bases, ptj)
+                y0 = foldw(zeros16w, y0blk, one_s)
+                amac = foldw(zeros16w, aadblk, one_s)
+                return double_be(y0) ^ amac
+
+            def step(ptj):
+                y = s2v_y()
+                ct, iv = siv_seal_chain_fused(
+                    kpww, kpww, zeros16w, ptj, nvs, ones16s,
+                    y ^ jnp.asarray(k1s_np), zerosbs)
                 return ct ^ iv[:, None, :]
-            _emit("AES-SIV batch seal (S2V+CTR), 4096 x 4 KiB "
-                  "(device-resident)",
+            _emit("AES-SIV batch seal (fused S2V+CTR kernel), "
+                  "4096 x 4 KiB (device-resident)",
                   _marginal_rate(loop_of(step),
+                                 jnp.zeros((bw, nbs, 16), jnp.uint8),
+                                 bw * nbs * 16))
+
+            def step_o(ctj):
+                y = s2v_y()
+                pt, s2v = siv_open_chain_fused(
+                    kpww, kpww, ctj[:, 0, :], zeros16w, ctj, nvs,
+                    ones16s, y ^ jnp.asarray(k1s_np), zerosbs)
+                return pt ^ s2v[:, None, :]
+            _emit("AES-SIV batch open (fused CTR+S2V kernel), "
+                  "4096 x 4 KiB (device-resident)",
+                  _marginal_rate(loop_of(step_o),
                                  jnp.zeros((bw, nbs, 16), jnp.uint8),
                                  bw * nbs * 16))
 

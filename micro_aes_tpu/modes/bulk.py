@@ -935,17 +935,26 @@ def _cmac_batch(rks, datas: list[np.ndarray]) -> np.ndarray:
         jnp.asarray(blocks), jnp.asarray(nv)))
 
 
+def _s2v_y(rks1, aads: list[np.ndarray]) -> np.ndarray:
+    """The AAD-side S2V accumulator y (micro_aes.c:1324-1340): y0 =
+    CMAC(0^16), doubled and xored with the AAD CMAC when one is
+    present.  Two small staged CMAC batches."""
+    from ..ops.mac import double_be_np
+
+    B = len(aads)
+    y0 = _cmac_batch(rks1, [np.zeros(BLOCK, np.uint8)] * B)
+    amac = _cmac_batch(rks1, aads)
+    has_aad = np.array([len(a) > 0 for a in aads])[:, None]
+    return np.where(has_aad, double_be_np(y0) ^ amac, y0)
+
+
 def _s2v_batch(rks1, aads: list[np.ndarray],
                pts: list[np.ndarray]) -> np.ndarray:
     """Batched S2V (micro_aes.c:1324-1360): three staged CMAC batches
     (Y0, AAD macs, final xorend/pad fold) with host glue between."""
     from ..ops.mac import double_be_np
 
-    B = len(pts)
-    y0 = _cmac_batch(rks1, [np.zeros(BLOCK, np.uint8)] * B)
-    amac = _cmac_batch(rks1, aads)
-    has_aad = np.array([len(a) > 0 for a in aads])[:, None]
-    y = np.where(has_aad, double_be_np(y0) ^ amac, y0)
+    y = _s2v_y(rks1, aads)
     finals = []
     for i, p in enumerate(pts):
         if len(p) < BLOCK:
@@ -1048,15 +1057,161 @@ def _siv_keystreams(k2s: list[bytes], ivs: np.ndarray, lens: list[int]):
                       .reshape(b, nks, BLOCK))
 
 
+def _siv_fused_gate() -> bool:
+    """MICRO_AES_SIV_FUSED=0/1 overrides the backend gate (the CPU
+    differential tests drive the fused S2V+CTR kernels through
+    interpret mode)."""
+    import os
+
+    v = os.environ.get("MICRO_AES_SIV_FUSED")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _siv_s2v_consts(d, q, y, lens):
+    """Data-independent S2V final-fold constants for the fused kernels
+    (micro_aes.c:1336-1356): per message the final-block byte mask
+    `tail`, the final-block xor `lastadd`, the second-to-last-block xor
+    `prevadd` (the xorend straddle: when the final block is ragged with
+    s payload bytes, y's last s bytes land on it and y's first 16-s
+    bytes land on the tail of the PREVIOUS block), and the MAC block
+    count.  d/q are the cMac doubling subkeys of the MAC key
+    (getSubkeys, micro_aes.c:593-604); sub-block messages use the
+    dbl(y) ^ pad form (micro_aes.c:1344-1349)."""
+    from ..ops.mac import double_be_np
+
+    B = len(lens)
+    tail = np.zeros((B, BLOCK), np.uint8)
+    lastadd = np.zeros((B, BLOCK), np.uint8)
+    prevadd = np.zeros((B, BLOCK), np.uint8)
+    nv = np.zeros(B, np.int32)
+    dy = double_be_np(y)
+    for i, n in enumerate(lens):
+        if n >= BLOCK:
+            s = (n - 1) % BLOCK + 1
+            nv[i] = (n - 1) // BLOCK + 1
+            if s == BLOCK:
+                tail[i] = 0xFF
+                lastadd[i] = y[i] ^ d[i]
+            else:
+                tail[i, :s] = 0xFF
+                la = np.zeros(BLOCK, np.uint8)
+                la[:s] = y[i, BLOCK - s:]
+                la[s] ^= 0x80
+                lastadd[i] = la ^ q[i]
+                prevadd[i, s:] = y[i, : BLOCK - s]
+        else:
+            nv[i] = 1
+            tail[i, :n] = 0xFF
+            la = dy[i].copy()
+            la[n] ^= 0x80
+            lastadd[i] = la ^ d[i]
+    return tail, lastadd, prevadd, nv
+
+
+def _siv_fused_ok(lens) -> bool:
+    return len(lens) > 0 and max(lens, default=0) > 0
+
+
+def _siv_fused_prep(k1s, k2s, aads, lens):
+    """Shared setup for the fused SIV runners: padded key-plane packs
+    for both key schedules plus the S2V constants (padded to 32
+    lanes).  Returns (pad, nb, kpw1, kpw2, consts...)."""
+    from ..ops.mac import _kpw_cached
+
+    B = len(k1s)
+    rks1 = stack_round_keys(k1s)
+    rks2 = stack_round_keys(k2s)
+    y = _s2v_y(jnp.asarray(rks1), aads)
+    d, q = _eax_subkeys(jnp.asarray(rks1), B)
+    tail, lastadd, prevadd, nv = _siv_s2v_consts(d, q, y, lens)
+    nb = int(nv.max())
+    pad = (-B) % 32
+
+    def padk(rks):
+        rks_p = rks if not pad else np.concatenate(
+            [rks, np.repeat(rks[-1:], pad, 0)])
+        return jnp.asarray(_kpw_cached(rks_p.tobytes(), rks_p.shape[0],
+                                       rks_p.shape[1]))
+
+    def pad16(a):
+        return np.pad(a, ((0, pad), (0, 0))) if pad else a
+
+    nvp = np.pad(nv, (0, pad)) if pad else nv
+    return (pad, nb, padk(rks1), padk(rks2), pad16(tail), pad16(lastadd),
+            pad16(prevadd), nvp)
+
+
+def _siv_pt_blocks(datas, nb: int, pad: int) -> np.ndarray:
+    b = len(datas)
+    blocks = np.zeros((b + pad, nb, BLOCK), np.uint8)
+    for i, p in enumerate(datas):
+        if len(p):
+            blocks[i].reshape(-1)[: len(p)] = p
+    return blocks
+
+
+def _siv_fused_seal_run(k1s, k2s, aads, pts):
+    """One fused VMEM pass per batch: S2V fold + SIV-CTR keystream
+    (ops/pallas_chain.siv_seal_chain_fused)."""
+    from ..ops.pallas_chain import siv_seal_chain_fused
+
+    B = len(pts)
+    lens = [len(p) for p in pts]
+    (pad, nb, kpw1, kpw2, tail, lastadd, prevadd,
+     nv) = _siv_fused_prep(k1s, k2s, aads, lens)
+    blocks = _siv_pt_blocks(pts, nb, pad)
+    out, ivs = siv_seal_chain_fused(
+        kpw1, kpw2, jnp.zeros((B + pad, BLOCK), jnp.uint8),
+        jnp.asarray(blocks), jnp.asarray(nv), jnp.asarray(tail),
+        jnp.asarray(lastadd), jnp.asarray(prevadd))
+    out_np = np.asarray(out[:B])
+    ivs_np = np.asarray(ivs[:B])
+    return [(bytes(ivs_np[i]),
+             bytes(out_np[i].reshape(-1)[: lens[i]]) if lens[i] else b"")
+            for i in range(B)]
+
+
+def _siv_fused_open_run(k1s, k2s, iv_arr, aads, cts):
+    """Fused SIV open: CTR decrypt + S2V re-synthesis in one kernel,
+    then the constant-time IV compare (micro_aes.c:1394-1410)."""
+    from ..ops.pallas_chain import siv_open_chain_fused
+    from ..utils.bytesio import verify_tag
+
+    B = len(cts)
+    lens = [len(c) for c in cts]
+    (pad, nb, kpw1, kpw2, tail, lastadd, prevadd,
+     nv) = _siv_fused_prep(k1s, k2s, aads, lens)
+    blocks = _siv_pt_blocks(cts, nb, pad)
+    bases = iv_arr.copy()
+    bases[:, 8] &= 0x7F
+    bases[:, 12] &= 0x7F
+    if pad:
+        bases = np.pad(bases, ((0, pad), (0, 0)))
+    pt, s2v = siv_open_chain_fused(
+        kpw1, kpw2, jnp.asarray(bases),
+        jnp.zeros((B + pad, BLOCK), jnp.uint8), jnp.asarray(blocks),
+        jnp.asarray(nv), jnp.asarray(tail), jnp.asarray(lastadd),
+        jnp.asarray(prevadd))
+    pt_np = np.asarray(pt[:B])
+    s2v_np = np.asarray(s2v[:B])
+    return [bytes(pt_np[i].reshape(-1)[: lens[i]])
+            if verify_tag(s2v_np[i], iv_arr[i]) else None
+            for i in range(B)]
+
+
 @_regroup_mixed_keys(2)
 def siv_encrypt_batch(keys, aads, pts) -> list[tuple[bytes, bytes]]:
     """AES_SIV_encrypt (micro_aes.c:1372-1381) over B messages: returns
     (iv, ct) pairs; keys are K1||K2 concatenations as in the scalar API
     and (like the other batch engines) must share one key size per call."""
     k1s, k2s = _siv_split(keys)
-    rks1 = jnp.asarray(stack_round_keys(k1s))
     aads = [to_u8(a) for a in aads]
     pts = [to_u8(p) for p in pts]
+    if _siv_fused_gate() and _siv_fused_ok([len(p) for p in pts]):
+        return _siv_fused_seal_run(k1s, k2s, aads, pts)
+    rks1 = jnp.asarray(stack_round_keys(k1s))
     ivs = _s2v_batch(rks1, aads, pts)
     ks = _siv_keystreams(k2s, ivs, [len(p) for p in pts])
     return [(bytes(ivs[i]),
@@ -1071,10 +1226,12 @@ def siv_decrypt_batch(keys, ivs, aads, cts) -> list[bytes | None]:
     from ..utils.bytesio import verify_tag
 
     k1s, k2s = _siv_split(keys)
-    rks1 = jnp.asarray(stack_round_keys(k1s))
     aads = [to_u8(a) for a in aads]
     cts = [to_u8(c) for c in cts]
     iv_arr = np.stack([to_u8(iv)[:BLOCK] for iv in ivs])
+    if _siv_fused_gate() and _siv_fused_ok([len(c) for c in cts]):
+        return _siv_fused_open_run(k1s, k2s, iv_arr, aads, cts)
+    rks1 = jnp.asarray(stack_round_keys(k1s))
     ks = _siv_keystreams(k2s, iv_arr, [len(c) for c in cts])
     pts = [(c ^ ks[i].reshape(-1)[: len(c)]) if len(c)
            else np.zeros(0, np.uint8) for i, c in enumerate(cts)]

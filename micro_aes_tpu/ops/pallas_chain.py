@@ -918,3 +918,288 @@ def cbcmac_packed_fused(kpw, init, blocks, nvalid):
         compiler_params=_SEQ2,
     )(kpw2, c2, x, masks)
     return unpack_planes(_to_rm(co).reshape(8, 16, w), b)
+
+
+# ---------------------------------------------------------------------------
+# Fused SIV (RFC 5297) engines — round-5 continuation of the aead_chain
+# family.  The composed batch path (cbcmac_packed_fused + ctr_packed_fused)
+# pays two kernel launches and three full-stream XLA wordstream transposes
+# per call; these kernels run the whole mode in ONE pallas_call.
+#
+#   * seal is structurally TWO phases (the S2V tag seeds the CTR counter,
+#     micro_aes.c:1372-1381, so the keystream cannot start until the MAC
+#     fold finishes): grid steps 0..nb-1 fold the S2V CMAC over the
+#     plaintext under the MAC key; at the phase boundary the carry is
+#     butterflied to word rows, bit 63/31-cleared (micro_aes.c:931-934)
+#     into a VMEM scratch, and steps nb..2nb-1 xor the SIV-CTR keystream
+#     under the CTR key.  One cipher per grid step either way.
+#   * open is ONE phase with two ciphers per step (the received IV seeds
+#     the counters immediately, micro_aes.c:1394-1410): keystream-xor
+#     produces the plaintext block AND the same step folds it into the
+#     S2V carry — the CCM/EAX kernel shape with distinct MAC/CTR keys.
+#
+# The S2V last-block math (cMac K1/K2 tweak + the xorend straddle of
+# micro_aes.c:1336-1356) is data-independent given the AAD value y, so it
+# arrives as three per-message constants: `tail` (byte-validity mask of
+# the final block), `lastadd` (xor into the final MAC block: y/K1 for
+# whole blocks, y-tail + 0x80 pad + K2 for ragged, dbl(y) + pad + K1 for
+# sub-block messages) and `prevadd` (xor into the second-to-last block:
+# the y head bytes that straddle backwards when the final block is
+# ragged).
+# ---------------------------------------------------------------------------
+
+
+def _siv_clear_rows(c):
+    """SIV counter-base bit clearing on a [128, TILE] word-row tile
+    (micro_aes.c:931-934: iv[8] &= 0x7F, iv[12] &= 0x7F — bytes 8/12 are
+    the low bytes of LE words 2/3, i.e. rows 4j+2 / 4j+3)."""
+    rowi = jax.lax.broadcasted_iota(jnp.uint32, c.shape, 0)
+    return jnp.where((rowi & 3) >= 2, c & jnp.uint32(0xFFFFFF7F), c)
+
+
+def _s2v_macin(xp, step, lm_ref, pm_ref, tailp_ref, lastp_ref, prevp_ref):
+    """Apply the per-lane S2V final/straddle adjustments to one MAC input
+    block (plane domain): at a lane's last step the block becomes
+    (x & tail) ^ lastadd; at its second-to-last step prevadd xors in."""
+    lm = lm_ref[pl.ds(step, 1), :]
+    pm = pm_ref[pl.ds(step, 1), :]
+    macin = []
+    for b in range(8):
+        tp = tailp_ref[b * 16:(b + 1) * 16, :]
+        lp = lastp_ref[b * 16:(b + 1) * 16, :]
+        pp = prevp_ref[b * 16:(b + 1) * 16, :]
+        fin = (xp[b] & tp) ^ lp
+        macin.append(xp[b] ^ (lm & (xp[b] ^ fin)) ^ (pm & pp))
+    return macin
+
+
+def _siv_seal_kernel(rounds: int, nb: int, kpm_ref, kpc_ref, init_ref,
+                     m_ref, lm_ref, pm_ref, tailp_ref, lastp_ref,
+                     prevp_ref, x_ref, y_ref, tag_ref, carry_ref, c0_sc):
+    """Two-phase fused SIV seal: steps < nb fold the S2V CMAC (MAC key),
+    steps >= nb emit the SIV-CTR keystream xor (CTR key) from the
+    bit-cleared carry captured at the phase boundary."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[:] = init_ref[:]
+
+    @pl.when(step < nb)
+    def _():
+        xp = _blocks_to_rm_planes(x_ref[0])
+        macin = _s2v_macin(xp, step, lm_ref, pm_ref, tailp_ref,
+                           lastp_ref, prevp_ref)
+        cf = carry_ref[:]
+        carry = [cf[b * 16:(b + 1) * 16, :] for b in range(8)]
+        m2 = _cipher_lanekeys(
+            rounds, kpm_ref, [carry[b] ^ macin[b] for b in range(8)])
+        mask = m_ref[pl.ds(step, 1), :]
+        carry_ref[:] = jnp.concatenate(
+            [carry[b] ^ (mask & (m2[b] ^ carry[b])) for b in range(8)],
+            axis=0)
+
+    @pl.when(step == nb - 1)
+    def _():
+        cf = carry_ref[:]
+        tag_ref[:] = cf
+        c0_sc[:] = _siv_clear_rows(_rm_planes_to_stream(
+            [cf[b * 16:(b + 1) * 16, :] for b in range(8)]))
+
+    @pl.when(step >= nb)
+    def _():
+        s = (step - nb).astype(jnp.uint32)
+        ks = _cipher_lanekeys(
+            rounds, kpc_ref, _rows_to_rm_planes(_aead_ctr_rows(c0_sc, s)))
+        xp = _blocks_to_rm_planes(x_ref[0])
+        y_ref[0] = _rm_planes_to_stream([ks[b] ^ xp[b] for b in range(8)])
+
+
+@jax.jit
+def siv_seal_chain_fused(kpw_mac, kpw_ctr, init, blocks, nvalid, tail,
+                         lastadd, prevadd):
+    """Lane-packed fused SIV seal over B independent messages:
+    kpw_mac/kpw_ctr uint32[R+1,8,16,W] (key_planes_packed of the K1 MAC
+    and K2 CTR key schedules), init uint8[B,16] (zeros for plain S2V),
+    blocks uint8[B,nb,16] zero-padded plaintext, nvalid int32[B] MAC
+    blocks per message (>= 1 even for sub-block messages), tail/lastadd/
+    prevadd uint8[B,16] S2V final-block constants.  B % 32 == 0.
+    Returns (ct uint8[B,nb,16], iv uint8[B,16]) — iv is the RAW S2V
+    value (bit clearing applies only to the counter)."""
+    from ..core.bitslice import pack_planes, unpack_planes
+
+    b, nb = blocks.shape[0], blocks.shape[1]
+    w = b // 32
+    rounds = kpw_mac.shape[0] - 1
+    tile = _tile_for(w)
+    kpm2 = _to_rm(kpw_mac.reshape(-1, w))
+    kpc2 = _to_rm(kpw_ctr.reshape(-1, w))
+    initp = _to_rm(pack_planes(init).reshape(128, w))
+    tailp = _to_rm(pack_planes(tail).reshape(128, w))
+    lastp = _to_rm(pack_planes(lastadd).reshape(128, w))
+    prevp = _to_rm(pack_planes(prevadd).reshape(128, w))
+    x = _to_wordstream(blocks)
+    lanes = nvalid.astype(jnp.int32).reshape(w, 32)
+    steps = jnp.arange(nb, dtype=jnp.int32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    vb = (steps[:, None, None] < lanes[None]).astype(jnp.uint32)
+    lb = (steps[:, None, None] == (lanes - 1)[None]).astype(jnp.uint32)
+    pb = (steps[:, None, None] == (lanes - 2)[None]).astype(jnp.uint32)
+    masks = jnp.sum(vb << shifts, axis=-1, dtype=jnp.uint32)   # [nb, W]
+    lastm = jnp.sum(lb << shifts, axis=-1, dtype=jnp.uint32)
+    prevm = jnp.sum(pb << shifts, axis=-1, dtype=jnp.uint32)
+
+    def xmap(i, j):
+        return (j % nb, 0, i)
+
+    def ymap(i, j):
+        return (jnp.maximum(j - nb, 0), 0, i)
+
+    y, tag = pl.pallas_call(
+        functools.partial(_siv_seal_kernel, rounds, nb),
+        interpret=_interpret(),
+        out_shape=(jax.ShapeDtypeStruct((nb, 128, w), jnp.uint32),
+                   jax.ShapeDtypeStruct((128, w), jnp.uint32)),
+        grid=(w // tile, 2 * nb),
+        in_specs=[
+            pl.BlockSpec((kpm2.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpc2.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((masks.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lastm.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((prevm.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, tile), xmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, 128, tile), ymap,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((128, tile), jnp.uint32),
+                        pltpu.VMEM((128, tile), jnp.uint32)],
+        compiler_params=_SEQ2,
+        input_output_aliases={9: 0},
+    )(kpm2, kpc2, initp, masks, lastm, prevm, tailp, lastp, prevp, x)
+    out = _from_wordstream(y)
+    ivb = unpack_planes(_to_rm(tag).reshape(8, 16, w), b)
+    return out, ivb
+
+
+def _siv_open_kernel(rounds: int, nsteps: int, kpm_ref, kpc_ref, c0_ref,
+                     init_ref, m_ref, lm_ref, pm_ref, tailp_ref,
+                     lastp_ref, prevp_ref, x_ref, y_ref, tag_ref,
+                     carry_ref):
+    """One-phase fused SIV open: per step the SIV-CTR keystream (CTR
+    key) decrypts the block AND the resulting plaintext folds into the
+    S2V carry (MAC key) — decrypt-then-verify, micro_aes.c:1394-1410."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[:] = init_ref[:]
+
+    ks = _cipher_lanekeys(
+        rounds, kpc_ref,
+        _rows_to_rm_planes(_aead_ctr_rows(c0_ref, step.astype(jnp.uint32))))
+    xp = _blocks_to_rm_planes(x_ref[0])
+    outp = [ks[b] ^ xp[b] for b in range(8)]
+    y_ref[0] = _rm_planes_to_stream(outp)
+    macin = _s2v_macin(outp, step, lm_ref, pm_ref, tailp_ref,
+                       lastp_ref, prevp_ref)
+    cf = carry_ref[:]
+    carry = [cf[b * 16:(b + 1) * 16, :] for b in range(8)]
+    m2 = _cipher_lanekeys(
+        rounds, kpm_ref, [carry[b] ^ macin[b] for b in range(8)])
+    mask = m_ref[pl.ds(step, 1), :]
+    carry_ref[:] = jnp.concatenate(
+        [carry[b] ^ (mask & (m2[b] ^ carry[b])) for b in range(8)],
+        axis=0)
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        tag_ref[:] = carry_ref[:]
+
+
+@jax.jit
+def siv_open_chain_fused(kpw_mac, kpw_ctr, c0, init, blocks, nvalid,
+                         tail, lastadd, prevadd):
+    """Lane-packed fused SIV open: c0 uint8[B,16] is the received IV
+    with bytes 8/12 already bit-cleared (the counter base); blocks is
+    the zero-padded ciphertext.  Returns (pt uint8[B,nb,16], s2v
+    uint8[B,16]) — the caller constant-time-compares s2v against the
+    received IV (micro_aes.c:1404-1408)."""
+    from ..core.bitslice import pack_planes, unpack_planes
+
+    b, nb = blocks.shape[0], blocks.shape[1]
+    w = b // 32
+    rounds = kpw_mac.shape[0] - 1
+    tile = _tile_for(w)
+    kpm2 = _to_rm(kpw_mac.reshape(-1, w))
+    kpc2 = _to_rm(kpw_ctr.reshape(-1, w))
+    c0w = _to_wordstream(c0[:, None, :])[0]
+    initp = _to_rm(pack_planes(init).reshape(128, w))
+    tailp = _to_rm(pack_planes(tail).reshape(128, w))
+    lastp = _to_rm(pack_planes(lastadd).reshape(128, w))
+    prevp = _to_rm(pack_planes(prevadd).reshape(128, w))
+    x = _to_wordstream(blocks)
+    lanes = nvalid.astype(jnp.int32).reshape(w, 32)
+    steps = jnp.arange(nb, dtype=jnp.int32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    vb = (steps[:, None, None] < lanes[None]).astype(jnp.uint32)
+    lb = (steps[:, None, None] == (lanes - 1)[None]).astype(jnp.uint32)
+    pb = (steps[:, None, None] == (lanes - 2)[None]).astype(jnp.uint32)
+    masks = jnp.sum(vb << shifts, axis=-1, dtype=jnp.uint32)
+    lastm = jnp.sum(lb << shifts, axis=-1, dtype=jnp.uint32)
+    prevm = jnp.sum(pb << shifts, axis=-1, dtype=jnp.uint32)
+    y, tag = pl.pallas_call(
+        functools.partial(_siv_open_kernel, rounds, nb),
+        interpret=_interpret(),
+        out_shape=(jax.ShapeDtypeStruct((nb, 128, w), jnp.uint32),
+                   jax.ShapeDtypeStruct((128, w), jnp.uint32)),
+        grid=(w // tile, nb),
+        in_specs=[
+            pl.BlockSpec((kpm2.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpc2.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((masks.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lastm.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((prevm.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((128, tile), jnp.uint32)],
+        compiler_params=_SEQ2,
+        input_output_aliases={10: 0},
+    )(kpm2, kpc2, c0w, initp, masks, lastm, prevm, tailp, lastp, prevp, x)
+    out = _from_wordstream(y)
+    s2v = unpack_planes(_to_rm(tag).reshape(8, 16, w), b)
+    return out, s2v
