@@ -295,45 +295,81 @@ def bench_modes(selected):
         # FIXED-WORK methodology (VERDICT r3 item 4): both shapes move
         # the same 16 MB total, so neither row sits on the dispatch
         # floor and the per-tenant size is the only variable.
-        from micro_aes_tpu.modes.seal_batch import _prep, _seal_batch_core
+        #
+        # Round-5 correction: these rows now measure the segmented
+        # VALUE-CHAIN engine with the TAG OUTPUT KEPT LIVE.  The old
+        # rows looped _seal_batch_core returning only the ciphertext,
+        # which let XLA dead-code-eliminate the entire GHASH side —
+        # they measured the cipher pass alone (the matrix engine's true
+        # tag-live rate is ~0.5-1.0 GB/s at these shapes; see
+        # BASELINE.md "round-5 measurement correction").
+        import micro_aes_tpu.modes.seal_batch as _sb
+        from micro_aes_tpu.modes.bulk import _enc1_batch
+        from micro_aes_tpu.ops.mac import ghash_fold_batch as _gfb
 
         rngk = np.random.default_rng(9)
         for bk, mb, label in ((1024, 16384, "1024 keys x 16 KB"),
-                              (64, 262144, "64 keys x 256 KB")):
+                              (64, 262144, "64 keys x 256 KB"),
+                              (4096, 4096, "4096 keys x 4 KB")):
             mkeys = [bytes(rngk.integers(0, 256, 16, dtype=np.uint8))
                      for _ in range(bk)]
             mnonces = [bytes(rngk.integers(0, 256, 12, dtype=np.uint8))
                        for _ in range(bk)]
-            args = _prep(mkeys, mnonces, [b"hdr"] * bk, [bytes(mb)] * bk)
-            bb, wmk = args[0], args[1]
-            kp_stack, j0wk, frontk, maskk, selk, lbk, ptwk = args[5:12]
+            nbk = mb // 16
+            bp, sk, lk = _sb._chain_shape(bk, nbk)
+            span = sk * lk
+            kpwk, htabk, hk, rksk, ptabsk, htab_hk = _sb._chain_cached(
+                b"".join(mkeys + [mkeys[-1]] * (bp - bk)), 16, sk, lk)
+            j0k = np.zeros((bp, 16), np.uint8)
+            for i, nn in enumerate(mnonces):
+                j0k[i, :12] = np.frombuffer(nn, np.uint8)
+            j0k[:, 15] = 1
+            ej0k = jnp.asarray(_enc1_batch(rksk, j0k))
+            lenbk = np.zeros((bp, 16), np.uint8)
+            lenbk[:bk, :8] = np.frombuffer((24).to_bytes(8, "big"),
+                                           np.uint8)
+            lenbk[:bk, 8:] = np.frombuffer((mb * 8).to_bytes(8, "big"),
+                                           np.uint8)
+            c0vk = np.zeros((bp, sk, 16), np.uint8)
+            validk = np.zeros((bp * sk, lk), bool)
+            injk = np.zeros((bp * sk, lk), bool)
+            for i in range(bk):
+                base = j0k[i].copy()
+                base[15] = 2
+                for sg in range(sk):
+                    c0vk[i, sg] = _sb._ctr56_add(
+                        base, sg * lk - (span - nbk))
+                validk[i * sk:(i + 1) * sk] = (
+                    np.arange(span).reshape(sk, lk) >= span - nbk)
+                p0 = span - nbk
+                injk[i * sk + p0 // lk, p0 % lk] = True
+            srcmk = jnp.asarray(_sb._pack_lane_bits(validk.T))
+            initmk = jnp.asarray(_sb._pack_lane_bits(injk.T))
+            aadbk = np.zeros((bp, 1, 16), np.uint8)
+            aadbk[:, 0, :3] = list(b"hdr")
+            initk = _gfb(jnp.asarray(hk), jnp.zeros((bp, 16), jnp.uint8),
+                         jnp.asarray(aadbk), jnp.full(bp, 1, jnp.int32))
+            nblkk = jnp.asarray(np.full(bp, nbk, np.int32))
+            lane0k = np.arange(bp) * sk + (span - nbk) // lk
+            initvk = (jnp.zeros((bp * sk, 16), jnp.uint8)
+                      .at[jnp.asarray(lane0k)].set(initk))
+            c0jk = jnp.asarray(c0vk.reshape(bp * sk, 16))
+            lenbjk = jnp.asarray(lenbk)
 
-            def step(c, a=(kp_stack, j0wk, frontk, maskk, selk, lbk),
-                     bb=bb, wmk=wmk):
-                o, t = _seal_batch_core(*a[:5], a[5], c, bb, wmk)
-                return o
-            _emit(f"AES-128-GCM multi-key seal ({label})",
-                  _marginal_rate(loop_of(step), ptwk, bk * mb))
-
-            if bk == 1024:
-                # WARM-tenant row (VERDICT r4 item 3): per-key GHASH
-                # tables memoized across calls (_tables_cached) — the
-                # cold row above re-derives them every dispatch, ~3x of
-                # the marginal cost at 16 KB/tenant
-                from micro_aes_tpu.modes.seal_batch import (
-                    _seal_batch_core_warm,
-                    _tables_cached,
-                )
-
-                tabs = _tables_cached(b"".join(mkeys), 16)
-
-                def stepw(c, a=(kp_stack, j0wk, frontk, maskk, selk, lbk),
-                          bb=bb, wmk=wmk, tabs=tabs):
-                    o, t = _seal_batch_core_warm(*a[:5], a[5], c, tabs,
-                                                 bb, wmk)
-                    return o
-                _emit(f"AES-128-GCM multi-key seal ({label}, warm tables)",
-                      _marginal_rate(loop_of(stepw), ptwk, bk * mb))
+            def step(x, a=(kpwk, htabk, c0jk, srcmk, initmk, initvk,
+                           nblkk, initk, lenbjk, ej0k, ptabsk, htab_hk),
+                     sk=sk, lk=lk, bp=bp):
+                out, tags = _sb._chain_core(
+                    a[0], a[1], a[2], x, a[3], a[4], a[5], a[6], a[7],
+                    a[8], a[9], a[10], a[11], sk, lk, False)
+                # the tag xor keeps the GHASH fold + combine live
+                return out ^ jnp.tile(tags, (1, sk)).reshape(
+                    bp * sk, 1, 16)
+            _emit(f"AES-128-GCM multi-key seal ({label}, value-chain, "
+                  "tag-live)",
+                  _marginal_rate(loop_of(step),
+                                 jnp.zeros((bp * sk, lk, 16), jnp.uint8),
+                                 bk * mb))
 
     if "poly1305" in selected:
         r = 0x0ffffffc0ffffffc0ffffffc0fffffff & int.from_bytes(

@@ -108,7 +108,15 @@ def _stream_bits(words):
 
 def _seal_body(kp_stack, j0w, front, mask, sel, len_bits, ptw,
                b: int, wm: int, tables=None):
-    """Multi-key GCM core body.  j0w u32[B,4] (J0 LE words),
+    """Multi-key GCM core body — the MATRIX-GHASH engine.  Correct and
+    fully tested, but its per-key bit-matrix contraction is MXU
+    weight-load-bound: tag-live it seals at ~0.5-1 GB/s on the serving
+    shapes (BASELINE.md round-5 correction).  The public batch API
+    routes through the segmented value-chain engine below on TPU; this
+    body remains as the dp-sharded engine family exercised by
+    parallel/batch.py + dryrun_multichip and as the gate-off fallback.
+
+    j0w u32[B,4] (J0 LE words),
     front i32[B] (data start position in each window), mask/sel
     int8[B*32*Wm] (fold-validity / input-vs-output bit source per
     position), len_bits int8[B,128], ptw u32[B*Wm,128].
@@ -232,6 +240,286 @@ def _fast_path_ok(keys, nonces, pts) -> bool:
             and all(len(p) % BLOCK == 0 for p in pts))
 
 
+# ---------------------------------------------------------------------------
+# Segmented value-chain engine (round-5 continuation) — the table-free
+# multi-key GCM redesign.
+#
+# The matrix engine below (_seal_body) is structurally wrong for serving
+# tenants: its per-key GF(2) bit-matrix tables are ~1 MB/key and the
+# batched [wm, 4096] x [4096, 128] MXU contraction is weight-load-bound.
+# Measured tag-live truth on the v5e (see BASELINE.md round-5
+# correction): 1024 x 16 KB seals at ~0.5 GB/s, 64 x 256 KB at ~1.0 —
+# while the earlier committed rows, whose bench steps discarded the tag
+# output, measured only the cipher side (XLA dead-code-eliminated the
+# whole GHASH fold: 11.8 / 30.6 GB/s).
+#
+# The chain engine folds GHASH in the VALUE domain fused with the
+# counter cipher (ops/pallas_chain.gcm_chain_fused: G <- (G ^ C)*H as
+# 128 masked xors against a 2 KB/key halving table).  The kernel's lane
+# parallelism wants >= 4096 message lanes, so large messages are SPLIT
+# into S segments of L blocks processed as independent virtual lanes,
+# each message RIGHT-ALIGNED in its S*L span (leading zeros fold for
+# free: zero source into a zero carry), and the per-segment folds are
+# recombined with powers of H^L:
+#
+#     G = H^n * init  ^  sum_s  H^(L*(S-1-s)) * G_s
+#
+# (init = the AAD fold, n = ct blocks; then the standard length-block
+# finalize G = (G ^ len)*H, tag = E(J0) ^ G, micro_aes.c:1176-1178.)
+# ---------------------------------------------------------------------------
+
+_CHAIN_LANES = 4096  # target virtual-lane count (= 128 lane columns)
+
+
+def _chain_gate() -> bool:
+    """MICRO_AES_GCM_CHAIN=0/1 overrides the backend gate (CPU
+    differential tests drive the segmented engine through the
+    interpret-mode kernel)."""
+    import os
+
+    v = os.environ.get("MICRO_AES_GCM_CHAIN")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _chain_shape(b: int, nb: int):
+    """(bp, S, L): segments per message and padded batch so the virtual
+    lane count bp*S is 32-aligned and >= min(_CHAIN_LANES, b*nb)."""
+    s = max(1, min(-(-_CHAIN_LANES // b), nb))
+    bp = b
+    while (bp * s) % 32:
+        bp += 1
+    return bp, s, -(-nb // s)
+
+
+def _ctr56_add(base: np.ndarray, delta: int) -> np.ndarray:
+    """base uint8[16] + delta on the 56-bit BE counter window (bytes
+    9..15 — the dual-endian incBlock contract, micro_aes.c:421-428,
+    exactly what the kernel's _aead_ctr_rows adds over)."""
+    out = base.copy()
+    v = (int.from_bytes(base[9:16].tobytes(), "big") + delta) % (1 << 56)
+    out[9:16] = np.frombuffer(v.to_bytes(7, "big"), np.uint8)
+    return out
+
+
+def _pack_lane_bits(valid: np.ndarray) -> np.ndarray:
+    """bool[L, lanes] -> u32[L, lanes//32] per-step lane bitmasks."""
+    l, lanes = valid.shape
+    return (valid.reshape(l, lanes // 32, 32).astype(np.uint32)
+            << np.arange(32, dtype=np.uint32)[None, None, :]).sum(
+                axis=-1, dtype=np.uint32)
+
+
+def _halvings_scan(x):
+    """uint8[..., 16] -> uint8[128, ..., 16]: halve_be^i(x) for
+    i = 0..127 — the fused-multiply tables of the value-domain GHASH
+    (mul(v, x) = XOR_i bit_i(v) * halve^i(x))."""
+    from ..ops.gf128 import halve_be
+
+    def step(y, _):
+        return halve_be(y), y
+
+    _, tab = jax.lax.scan(step, x, None, length=128)
+    return tab
+
+
+def _mul_tab(x, tab):
+    """x * V as ONE fused XLA op (no 128-step serial loop): x
+    uint8[..., 16], tab uint8[128, ..., 16] = halvings of V.  The
+    serial mul_gf128 fori costs ~0.15 ms per call in dispatch latency
+    alone on the remote chip — fatal when a combine needs dozens."""
+    from ..ops.gf128 import blocks_to_bits
+
+    bits = jnp.moveaxis(blocks_to_bits(x), -1, 0)      # [128, ...]
+    masked = jnp.where(bits[..., None] == 1, tab, jnp.uint8(0))
+    return jax.lax.reduce(masked, np.uint8(0),
+                          lambda a, b: a ^ b, (0,))
+
+
+@functools.partial(jax.jit, static_argnames=("s", "l", "decrypt"))
+def _chain_core(kpw, htab, c0v, blocks_v, srcm, initm, initv, nblk, init,
+                lenb, ej0, ptabs, htab_h, s: int, l: int, decrypt: bool):
+    """One fused kernel pass over the virtual lanes + the fully
+    parallel segment combine (one table-mul over all segments, one for
+    the length finalize).  Returns (out [bp*s, l, 16], tags [bp, 16])."""
+    from ..ops.pallas_chain import gcm_chain_fused_raw
+
+    bv = blocks_v.shape[0]
+    bp = bv // s
+    wv = bv // 32
+    ones = jnp.full((l, wv), 0xFFFFFFFF, jnp.uint32)
+    zerosm = jnp.zeros((l, wv), jnp.uint32)
+    tailv = jnp.full((bv, BLOCK), 0xFF, jnp.uint8)
+    out, gseg = gcm_chain_fused_raw(
+        kpw, htab, c0v, jnp.zeros((bv, BLOCK), jnp.uint8), blocks_v,
+        ones, zerosm, srcm, initm, tailv, initv, decrypt=decrypt)
+    gseg = gseg.reshape(bp, s, BLOCK)
+    # G = XOR_s  gseg[:, s] * H^(L*(S-1-s)) — all segments at once:
+    # bits [s, 128, bp] against ptabs [s, 128, bp, 16]
+    from ..ops.gf128 import blocks_to_bits
+
+    bits = jnp.transpose(blocks_to_bits(gseg), (1, 2, 0))  # [s, 128, bp]
+    masked = jnp.where(bits[..., None] == 1, ptabs, jnp.uint8(0))
+    g = jax.lax.reduce(masked, np.uint8(0), lambda a, b: a ^ b, (0, 1))
+    # empty messages never get an in-stream injection; their AAD fold
+    # enters algebraically through the length multiply instead
+    g = g ^ jnp.where((nblk == 0)[:, None], init, jnp.uint8(0))
+    g = _mul_tab(g ^ lenb, htab_h)
+    return out, ej0 ^ g
+
+
+from ..utils.keycache import key_cache as _kc  # noqa: E402
+
+
+@_kc(maxsize=2)
+def _chain_cached(keys_blob: bytes, klen: int, s: int, l: int):
+    """Memoized per-key-set chain-engine machinery for warm serving
+    tenants (purged by purge_key_caches()): the segment-repeated key
+    planes, the kernel halving table (2 KB/key), the combine power
+    tables (halvings of H^(L*k)), and the finalize table — ~(2 + 2*s)
+    KB per key, where the old matrix-table cache held ~1 MB/key."""
+    from ..ops.gf128 import mul_gf128
+    from ..ops.mac import _kpw_cached
+    from ..ops.pallas_chain import ghash_halving_table
+    from .bulk import _enc_vmap, stack_round_keys
+
+    b = len(keys_blob) // klen
+    keys = [keys_blob[i * klen:(i + 1) * klen] for i in range(b)]
+    rks = stack_round_keys(keys)
+    h_j = _enc_vmap(jnp.asarray(rks),
+                    jnp.zeros((b, 1, BLOCK), jnp.uint8))[:, 0]
+    h = np.asarray(h_j)
+    rksv = np.repeat(rks, s, 0)
+    kpw = jnp.asarray(_kpw_cached(rksv.tobytes(), rksv.shape[0],
+                                  rksv.shape[1]))
+    htab = ghash_halving_table(jnp.asarray(np.repeat(h, s, 0)))
+    # H^L by square-and-multiply (static exponent), then the s combine
+    # powers H^(L*(S-1-k)) — build-time only, cached
+    one = jnp.zeros_like(h_j).at[:, 0].set(jnp.uint8(0x80))
+    hl = one
+    for bit in bin(l)[2:]:
+        hl = mul_gf128(hl, hl)
+        if bit == "1":
+            hl = mul_gf128(hl, h_j)
+
+    def pstep(carry, _):
+        return mul_gf128(hl, carry), carry
+
+    _, pows = jax.lax.scan(pstep, one, None, length=s)   # [s, b, 16]
+    ptabs = jnp.transpose(_halvings_scan(jnp.flip(pows, 0)),
+                          (1, 0, 2, 3))                  # [s, 128, b, 16]
+    htab_h = _halvings_scan(h_j)                         # [128, b, 16]
+    return kpw, htab, h, rks, ptabs, htab_h
+
+
+def _chain_run(keys, nonces, aads, datas, tag_len: int, decrypt: bool):
+    """Shared seal/open driver for the segmented chain engine: host prep
+    (right-aligned virtual streams, 56-bit counter bases, masks, length
+    blocks), the fused kernel + combine, and the per-message slicing."""
+    from ..ops.mac import ghash_fold_batch
+    from .bulk import _enc1_batch
+
+    b = len(keys)
+    ns = [len(d) // BLOCK for d in datas]
+    nb = max(max(ns), 1)
+    bp, s, l = _chain_shape(b, nb)
+    span = s * l
+    klen = len(keys[0])
+    keys_p = keys + [keys[-1]] * (bp - b)
+    kpw, htab, h, rks, ptabs, htab_h = _chain_cached(
+        b"".join(keys_p), klen, s, l)
+
+    j0 = np.zeros((bp, BLOCK), np.uint8)
+    for i, n in enumerate(nonces):
+        j0[i, :12] = np.frombuffer(bytes(n), np.uint8)
+    j0[:, 15] = 1
+    ej0 = _enc1_batch(rks, j0)
+
+    buf = np.zeros((bp, span, BLOCK), np.uint8)
+    lenb = np.zeros((bp, BLOCK), np.uint8)
+    c0v = np.zeros((bp, s, BLOCK), np.uint8)
+    valid = np.zeros((bp * s, l), bool)
+    inj = np.zeros((bp * s, l), bool)
+    # injection lane of each message; default to the message's own
+    # first lane so empty/padding rows scatter harmlessly into a lane
+    # whose initm bits are never set (a shared default like 0 would
+    # overwrite a real message's injection value)
+    lane0 = np.arange(bp, dtype=np.int64) * s
+    namax = max((len(a) for a in aads), default=0)
+    aadb = np.zeros((bp, max(-(-namax // BLOCK), 1), BLOCK), np.uint8)
+    nva = np.zeros(bp, np.int32)
+    for i in range(b):
+        n = ns[i]
+        d = np.frombuffer(bytes(datas[i]), np.uint8)
+        if n:
+            buf[i, span - n:] = d.reshape(n, BLOCK)
+        a = bytes(aads[i])
+        if a:
+            aadb[i].reshape(-1)[: len(a)] = np.frombuffer(a, np.uint8)
+            nva[i] = -(-len(a) // BLOCK)
+        lenb[i, :8] = np.frombuffer(
+            (len(a) * 8).to_bytes(8, "big"), np.uint8)
+        lenb[i, 8:] = np.frombuffer(
+            (n * BLOCK * 8).to_bytes(8, "big"), np.uint8)
+        base = j0[i].copy()
+        base[15] = 2
+        for sg in range(s):
+            c0v[i, sg] = _ctr56_add(base, sg * l - (span - n))
+        valid[i * s:(i + 1) * s] = (
+            np.arange(span).reshape(s, l) >= span - n)
+        if n:  # inject the AAD fold at the first data position
+            p0 = span - n
+            lane0[i] = i * s + p0 // l
+            inj[lane0[i], p0 % l] = True
+    srcm = _pack_lane_bits(valid.T)
+    initm = _pack_lane_bits(inj.T)
+
+    h_j = jnp.asarray(h)
+    if namax:
+        init = ghash_fold_batch(h_j, jnp.zeros((bp, BLOCK), jnp.uint8),
+                                jnp.asarray(aadb), jnp.asarray(nva))
+    else:
+        init = jnp.zeros((bp, BLOCK), jnp.uint8)
+    nblk = jnp.asarray(np.array(ns + [0] * (bp - b), np.int32))
+    initv = (jnp.zeros((bp * s, BLOCK), jnp.uint8)
+             .at[jnp.asarray(lane0)]
+             .set(jnp.where((nblk > 0)[:, None], init, jnp.uint8(0))))
+    out, tags = _chain_core(
+        kpw, htab, jnp.asarray(c0v.reshape(bp * s, BLOCK)),
+        jnp.asarray(buf.reshape(bp * s, l, BLOCK)), jnp.asarray(srcm),
+        jnp.asarray(initm), initv, nblk, init, jnp.asarray(lenb),
+        jnp.asarray(ej0), ptabs, htab_h, s, l, decrypt)
+    out_np = np.asarray(out).reshape(bp, span * BLOCK)
+    tags_np = np.asarray(tags)
+    return out_np, tags_np, ns, span
+
+
+def gcm_seal_batch_chain(keys, nonces, aads, pts,
+                         tag_len: int = 16) -> list[bytes]:
+    """Multi-key GCM seal through the segmented value-chain engine."""
+    out, tags, ns, span = _chain_run(keys, nonces, aads, pts, tag_len,
+                                     decrypt=False)
+    return [out[i, BLOCK * (span - n):].tobytes()
+            + tags[i][:tag_len].tobytes()
+            for i, n in enumerate(ns)]
+
+
+def gcm_open_batch_chain(keys, nonces, aads, cts, tags_in,
+                         tag_len: int = 16) -> list[bytes | None]:
+    """Multi-key GCM open through the segmented value-chain engine:
+    verify-BEFORE-release per message (micro_aes.c:1204-1209)."""
+    out, tags, ns, span = _chain_run(keys, nonces, aads, cts, tag_len,
+                                     decrypt=True)
+    res: list[bytes | None] = []
+    for i, n in enumerate(ns):
+        if not verify_tag(tags[i][:tag_len], tags_in[i]):
+            res.append(None)
+        else:
+            res.append(out[i, BLOCK * (span - n):].tobytes())
+    return res
+
+
 def _prep(keys, nonces, aads, datas):
     """Common host prep: window size, streams, masks, fronts, lengths."""
     b = len(keys)
@@ -307,6 +595,8 @@ def gcm_seal_batch(keys, nonces, aads, pts, tag_len: int = 16,
         from .bulk import gcm_encrypt_batch
 
         return gcm_encrypt_batch(keys, nonces, aads, pts, tag_len)
+    if _chain_gate():
+        return gcm_seal_batch_chain(keys, nonces, aads, pts, tag_len)
     (b, wm, _, ns, front_np, kp_stack, j0w, front, mask, sel,
      len_bits, ptw) = _prep(keys, nonces, aads, pts)
     if reuse_tables:
@@ -343,6 +633,8 @@ def gcm_open_batch(keys, nonces, aads, ct_tags, tag_len: int = 16,
         from .bulk import gcm_decrypt_batch
 
         return gcm_decrypt_batch(keys, nonces, aads, data, tag_len)
+    if _chain_gate():
+        return gcm_open_batch_chain(keys, nonces, aads, cts, tags, tag_len)
     (b, wm, _, ns, front_np, kp_stack, j0w, front, mask, sel,
      len_bits, ptw) = _prep(keys, nonces, aads, cts)
     # open: the expected-tag fold reads INPUT bits everywhere

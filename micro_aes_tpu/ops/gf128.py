@@ -243,3 +243,22 @@ def mat_power_gf2(m: jax.Array, k: int) -> jax.Array:
         if k:
             base = mat_mul_gf2(base, base)
     return result
+
+
+def pow_gf128(h: jax.Array, e: jax.Array, bits: int = 28) -> jax.Array:
+    """h^e in the GHASH field by batched square-and-multiply: h
+    uint8[B,16], e int32[B] (or scalar), 0 <= e < 2^bits.  h^0 is the
+    field identity (the block for polynomial 1: 0x80 00..00 in the
+    GHASH bit order).  Used by the segmented multi-key chain engine to
+    scale the AAD fold by H^n_blocks (modes/seal_batch)."""
+    one = jnp.zeros_like(h).at[..., 0].set(jnp.uint8(0x80))
+    e = jnp.broadcast_to(jnp.asarray(e, jnp.int32), h.shape[:-1])
+
+    def step(t, carry):
+        acc, hp = carry
+        bit = ((e >> t) & 1).astype(jnp.uint8)[..., None]
+        acc = jnp.where(bit == 1, mul_gf128(acc, hp), acc)
+        return acc, mul_gf128(hp, hp)
+
+    acc, _ = jax.lax.fori_loop(0, bits, step, (one, h))
+    return acc

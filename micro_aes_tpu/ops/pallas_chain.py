@@ -1203,3 +1203,241 @@ def siv_open_chain_fused(kpw_mac, kpw_ctr, c0, init, blocks, nvalid,
     out = _from_wordstream(y)
     s2v = unpack_planes(_to_rm(tag).reshape(8, 16, w), b)
     return out, s2v
+
+
+# ---------------------------------------------------------------------------
+# Value-domain multi-key GCM chain kernel — the table-free GHASH redesign.
+#
+# The matrix-based multi-key GHASH (modes/seal_batch.py: per-key 128x128
+# GF(2) bit matrices contracted on the MXU) is structurally wrong for
+# serving tenants: the per-key w1/w2 tables are ~1 MB each and the batched
+# [wm, 4096] x [4096, 128] contraction is WEIGHT-LOAD-bound — the MXU
+# spends 4096 cycles loading each key's table to process a few dozen
+# rows.  Measured truth at 1024 keys x 16 KB: the tag-live seal runs at
+# ~0.5 GB/s while the cipher alone runs at ~11 (and the committed bench
+# rows, whose step functions returned only the ciphertext, had the whole
+# GHASH side dead-code-eliminated by XLA — see BASELINE.md round-5
+# correction).
+#
+# This kernel instead folds GHASH in the VALUE domain on the VPU, fused
+# with the counter cipher in one pass:
+#
+#     G <- (G ^ C_i) * H        (mulGF128, micro_aes.c:476-493)
+#
+# with the product computed per chain step as a 128-term masked XOR
+# against a PRECOMPUTED HALVING TABLE: mul(x, H) = XOR_i bit_i(x) *
+# halve_be^i(H).  The halvings are key data — but only 128 blocks =
+# 2 KB/key (vs ~1 MB of matrices), grid-invariant in VMEM, and the fold
+# is ~90 ALU ops/B on top of the cipher's ~50-70.  No MXU, no tables,
+# no window quantization; any message length mix in natural [B, nb, 16]
+# chain layout.  Parity: AES_GCM_encrypt/decrypt (micro_aes.c:1164-1211).
+# ---------------------------------------------------------------------------
+
+
+def _lane_mask_rows(m):
+    """[1, T] u32 lane bitmask (bit j = message lane j) -> [32, T] rows
+    of 0/0xFFFFFFFF (row j = lane j), for value-domain masking."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (32, m.shape[1]), 0)
+    return jnp.uint32(0) - ((jnp.broadcast_to(m, (32, m.shape[1])) >> rows)
+                            & jnp.uint32(1))
+
+
+def _mulH_words(xw, htab_ref):
+    """X * H in the value domain: xw = 4 k-major [32, T] word slabs of X
+    (row j = LE word k of lane j's block); htab_ref rows
+    (i*4 + k)*32 + j = word k of halve_be^i(H_lane_j).  128 masked
+    xors, bit order exactly mul_gf128's (byte i//8, MSB-first)."""
+    acc = None
+    for i in range(128):
+        kq = i // 32
+        pos = 8 * ((i // 8) % 4) + 7 - (i % 8)
+        mask = jnp.uint32(0) - ((xw[kq] >> pos) & jnp.uint32(1))
+        term = [mask & htab_ref[(i * 4 + k) * 32:(i * 4 + k + 1) * 32, :]
+                for k in range(4)]
+        acc = term if acc is None else [acc[k] ^ term[k] for k in range(4)]
+    return acc
+
+
+def _gcm_kernel(rounds: int, nsteps: int, decrypt: bool, kpw_ref, c0_ref,
+                init_ref, htab_ref, m_ref, lm_ref, fm_ref, im_ref,
+                tailp_ref, ip_ref, x_ref, y_ref, g_ref, carry_ref):
+    """One grid step = one GCM block: BE counter -> per-lane cipher ->
+    keystream xor (output) AND G = (G ^ ct_masked) * H with the
+    value-domain product.  Fold side: ciphertext (output when sealing,
+    input when opening — GCM's gHash always folds the ciphertext,
+    micro_aes.c:1176/1204), final ragged block zero-masked (tailp).
+
+    Two distinct fold masks: m_ref FREEZES the carry (step invalid:
+    no multiply — trailing padding in natural-aligned batches), fm_ref
+    ZEROES the fold source while the multiply still runs (leading
+    padding in the right-aligned segmented layout, where exponent
+    uniformity across lanes is what makes the segment combine work).
+    im_ref/ip_ref inject a per-lane extra block into the fold source at
+    one selected step: xoring V into the source at position p is
+    algebraically identical to starting the chain from carry V at that
+    position — the segmented engine injects the AAD fold at each
+    message's first data position this way, so the combine never needs
+    a variable-exponent scaling."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[:] = init_ref[:]
+
+    ks = _cipher_lanekeys(
+        rounds, kpw_ref,
+        _rows_to_rm_planes(_aead_ctr_rows(c0_ref, step.astype(jnp.uint32))))
+    xp = _blocks_to_rm_planes(x_ref[0])
+    outp = [ks[b] ^ xp[b] for b in range(8)]
+    y_ref[0] = _rm_planes_to_stream(outp)
+    macsrc = xp if decrypt else outp
+    lm = lm_ref[pl.ds(step, 1), :]
+    fm = fm_ref[pl.ds(step, 1), :]
+    im = im_ref[pl.ds(step, 1), :]
+    macp = []
+    for b in range(8):
+        tp = tailp_ref[b * 16:(b + 1) * 16, :]
+        ip = ip_ref[b * 16:(b + 1) * 16, :]
+        fin = macsrc[b] & tp
+        macp.append(((macsrc[b] ^ (lm & (macsrc[b] ^ fin))) & fm)
+                    ^ (im & ip))
+    rowsk = _rm_planes_to_wide_rows(macp)          # [4][32] of [1, T]
+    xw = [jnp.concatenate(rowsk[k], axis=0) for k in range(4)]
+    cf = carry_ref[:]
+    g = [cf[k * 32:(k + 1) * 32, :] for k in range(4)]
+    prod = _mulH_words([g[k] ^ xw[k] for k in range(4)], htab_ref)
+    mrows = _lane_mask_rows(m_ref[pl.ds(step, 1), :])
+    carry_ref[:] = jnp.concatenate(
+        [g[k] ^ (mrows & (prod[k] ^ g[k])) for k in range(4)], axis=0)
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        g_ref[:] = carry_ref[:]
+
+
+@jax.jit
+def ghash_halving_table(h_blocks):
+    """Per-lane halving table for the value-domain GHASH kernels:
+    h_blocks uint8[B, 16] (H = E_K(0) per message, B % 32 == 0) ->
+    u32[16384, B//32] with row (i*4 + k)*32 + j, column w = LE word k
+    of halve_be^i(H) for message 32w + j.  2 KB per key."""
+    from .gf128 import halve_be
+
+    b = h_blocks.shape[0]
+    w = b // 32
+
+    def step(y, _):
+        return halve_be(y), y
+
+    _, tab = jax.lax.scan(step, h_blocks, None, length=128)  # [128, B, 16]
+    words = jax.lax.bitcast_convert_type(
+        tab.reshape(128, w, 32, 4, 4), jnp.uint32)           # [128,w,32,4]
+    return words.transpose(0, 3, 2, 1).reshape(128 * 4 * 32, w)
+
+
+def _blocks_kmajor(blocks16):
+    """uint8[B, 16] -> u32[128, B//32] k-major value rows (row k*32 + j,
+    column w = LE word k of message 32w + j's block)."""
+    b = blocks16.shape[0]
+    w = b // 32
+    words = jax.lax.bitcast_convert_type(
+        blocks16.reshape(w, 32, 4, 4), jnp.uint32)           # [w, 32, 4]
+    return words.transpose(2, 1, 0).reshape(128, w)
+
+
+def _kmajor_blocks(g, b: int):
+    """Inverse of _blocks_kmajor: u32[128, B//32] -> uint8[B, 16]."""
+    w = b // 32
+    words = g.reshape(4, 32, w).transpose(2, 1, 0)           # [w, 32, 4]
+    return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(b, 16)
+
+
+@functools.partial(jax.jit, static_argnames=("decrypt",))
+def gcm_chain_fused(kpw, htab, c0, init, blocks, nvalid, tail,
+                    decrypt: bool = False):
+    """Lane-packed fused multi-key GCM body: kpw uint32[R+1,8,16,W]
+    (key_planes_packed), htab from ghash_halving_table, c0 uint8[B,16]
+    (counter base = J0 + 1 pre-incremented: nonce || 00 00 00 02 for
+    12-byte nonces), init uint8[B,16] (GHASH of the AAD), blocks
+    uint8[B,nb,16] zero-padded pt (sealing) / ct (opening), nvalid
+    int32[B], tail uint8[B,16] final-block byte mask.  B % 32 == 0.
+
+    Returns (out uint8[B,nb,16], g uint8[B,16]) where g is the GHASH of
+    AAD || CT (lengths block NOT yet folded — callers finish with
+    G = (g ^ len_block) * H and tag = E(J0) ^ G, micro_aes.c:1176-1178)."""
+    b, nb = blocks.shape[0], blocks.shape[1]
+    w = b // 32
+    lanes = nvalid.astype(jnp.int32).reshape(w, 32)
+    steps = jnp.arange(nb, dtype=jnp.int32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    vb = (steps[:, None, None] < lanes[None]).astype(jnp.uint32)
+    lb = (steps[:, None, None] == (lanes - 1)[None]).astype(jnp.uint32)
+    masks = jnp.sum(vb << shifts, axis=-1, dtype=jnp.uint32)   # [nb, W]
+    lastm = jnp.sum(lb << shifts, axis=-1, dtype=jnp.uint32)
+    zm = jnp.zeros_like(masks)
+    zb = jnp.zeros_like(init)
+    return gcm_chain_fused_raw(kpw, htab, c0, init, blocks, masks, lastm,
+                               masks, zm, tail, zb, decrypt=decrypt)
+
+
+@functools.partial(jax.jit, static_argnames=("decrypt",))
+def gcm_chain_fused_raw(kpw, htab, c0, init, blocks, masks, lastm, srcm,
+                        initm, tail, initadd, decrypt: bool = False):
+    """Raw-masks form of gcm_chain_fused: masks/lastm/srcm/initm are
+    u32[nb, W] per-step lane bitmasks (carry-freeze validity, last-block
+    select, fold-source validity, init-injection position).  The
+    natural-aligned wrapper above passes srcm == masks and no
+    injection; the segmented right-aligned engine (modes/seal_batch)
+    passes masks all-ones + srcm covering only data positions (uniform
+    fold exponents) and injects the AAD fold via initm/initadd."""
+    from ..core.bitslice import pack_planes
+
+    b, nb = blocks.shape[0], blocks.shape[1]
+    w = b // 32
+    rounds = kpw.shape[0] - 1
+    tile = _tile_for(w)
+    kpw2 = _to_rm(kpw.reshape(-1, w))
+    c0w = _to_wordstream(c0[:, None, :])[0]
+    initk = _blocks_kmajor(init)
+    tailp = _to_rm(pack_planes(tail).reshape(128, w))
+    initp = _to_rm(pack_planes(initadd).reshape(128, w))
+    x = _to_wordstream(blocks)
+    y, g = pl.pallas_call(
+        functools.partial(_gcm_kernel, rounds, nb, decrypt),
+        interpret=_interpret(),
+        out_shape=(jax.ShapeDtypeStruct((nb, 128, w), jnp.uint32),
+                   jax.ShapeDtypeStruct((128, w), jnp.uint32)),
+        grid=(w // tile, nb),
+        in_specs=[
+            pl.BlockSpec((kpw2.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16384, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((masks.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lastm.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((srcm.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((initm.shape[0], tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, 128, tile), lambda i, j: (j, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((128, tile), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((128, tile), jnp.uint32)],
+        compiler_params=_SEQ2,
+        input_output_aliases={10: 0},
+    )(kpw2, c0w, initk, htab, masks, lastm, srcm, initm, tailp, initp, x)
+    return _from_wordstream(y), _kmajor_blocks(g, b)
