@@ -143,3 +143,39 @@ def aead_sharded_fn(mesh: Mesh, kind: str, decrypt: bool = False):
         out_specs=(P("dp"), P("dp")),
     )
     return jax.jit(fn)
+
+
+def gcm_chain_sharded_fn(mesh: Mesh):
+    """Value-chain multi-key GCM (round-5 continuation: the table-free
+    serving engine behind modes/seal_batch.gcm_seal_batch_chain) over
+    the mesh's `dp` axis: B independent (key, nonce, message) tenants
+    split across devices with zero collectives.  The local body is the
+    jnp composition (counter + vmapped cipher + value-domain GHASH fold
+    + length finalize) — the same semantics ops/pallas_chain.
+    gcm_chain_fused runs in one VMEM pass, pinned bit-exact against it
+    by tests/test_gcm_chain.py.
+
+    Local args per shard: rks u8[Bl,R+1,16], h/ej0/c0/init/lenb
+    u8[Bl,16], blocks u8[Bl,nb,16] (whole blocks), nvalid i32[Bl].
+    Returns (ct u8[B,nb,16], tags u8[B,16])."""
+    from ..core.cipher import encrypt_blocks
+    from ..ops.counter import counter_blocks
+    from ..ops.gf128 import mul_gf128
+    from ..ops.mac import ghash_fold_batch
+
+    def local(rks, h, ej0, c0, init, blocks, nvalid, lenb):
+        nb = blocks.shape[1]
+        ctrs = jax.vmap(lambda b: counter_blocks(b, nb, 0, "be"))(c0)
+        ks = jax.vmap(encrypt_blocks)(rks, ctrs)
+        out = blocks ^ ks
+        g = ghash_fold_batch(h, init, out, nvalid)
+        g = mul_gf128(h, g ^ lenb)
+        return out, ej0 ^ g
+
+    spec = P("dp")
+    fn = shard_map_nocheck(
+        local, mesh=mesh,
+        in_specs=(spec,) * 8,
+        out_specs=(spec, spec),
+    )
+    return jax.jit(fn)
