@@ -226,6 +226,54 @@ def _trace_aead_step(rounds: int, tile: int):
     return count_jaxpr(jx.jaxpr), 512 * tile
 
 
+def _trace_gcm_chain_step(rounds: int, tile: int):
+    """ops for one value-chain multi-key GCM grid step (r5 continuation:
+    in-kernel BE counter -> cipher -> keystream xor + the value-domain
+    GHASH fold G = (G ^ C)*H as 128 masked xors against the per-lane
+    halving table)."""
+    import jax
+    import jax.numpy as jnp
+
+    from micro_aes_tpu.ops import pallas_chain as pch
+    from micro_aes_tpu.ops import pallas_seal as ps
+
+    kpw = jnp.zeros(((rounds + 1) * 128, tile), jnp.uint32)
+    c0 = jnp.zeros((128, tile), jnp.uint32)
+    x = jnp.zeros((128, tile), jnp.uint32)
+    tailp = jnp.zeros((128, tile), jnp.uint32)
+    ip = jnp.zeros((128, tile), jnp.uint32)
+    htab = jnp.zeros((16384, tile), jnp.uint32)
+    rows1 = jnp.zeros((1, tile), jnp.uint32)
+    carry = [jnp.zeros((32, tile), jnp.uint32) for _ in range(4)]
+    step = jnp.uint32(3)
+
+    def fn(kpw, c0, x, tailp, ip, htab, lm, fm, im, mrow, step, *carry):
+        ks = pch._cipher_lanekeys(
+            rounds, kpw,
+            pch._rows_to_rm_planes(pch._aead_ctr_rows(c0, step)))
+        xp = ps._blocks_to_rm_planes(x)
+        outp = [ks[b] ^ xp[b] for b in range(8)]
+        y = ps._rm_planes_to_stream(outp)
+        macp = []
+        for b in range(8):
+            tp = tailp[b * 16:(b + 1) * 16, :]
+            ipb = ip[b * 16:(b + 1) * 16, :]
+            fin = outp[b] & tp
+            macp.append(((outp[b] ^ (lm & (outp[b] ^ fin))) & fm)
+                        ^ (im & ipb))
+        rowsk = pch._rm_planes_to_wide_rows(macp)
+        xw = [jnp.concatenate(rowsk[k], axis=0) for k in range(4)]
+        prod = pch._mulH_words(
+            [carry[k] ^ xw[k] for k in range(4)], htab)
+        mrows = pch._lane_mask_rows(mrow)
+        nc = [carry[k] ^ (mrows & (prod[k] ^ carry[k])) for k in range(4)]
+        return y, nc
+
+    jx = jax.make_jaxpr(fn)(kpw, c0, x, tailp, ip, htab, rows1, rows1,
+                            rows1, rows1, step, *carry)
+    return count_jaxpr(jx.jaxpr), 512 * tile
+
+
 def _trace_kw_step(rounds: int, tile: int):
     """ops for one KW wheel step (assemble A||R[i], cipher, split).
     Normalization: a full wrap of n semiblocks runs 6n steps, touching
@@ -316,6 +364,10 @@ def main(argv=None):
     c, nb = _trace_kw_step(10, min(args.tile, 128))
     rows.append(roofline_row("AES-128 KW wheel step", c, nb,
                              measured.get("kw")))
+    c, nb = _trace_gcm_chain_step(10, min(args.tile, 128))
+    rows.append(roofline_row(
+        "AES-128 value-chain multi-key GCM step (cipher + mulH fold)",
+        c, nb, measured.get("gcmchain")))
     print(json.dumps({"model": {
         "vpu_ops_per_s": VPU_OPS_PER_S,
         "mxu_macs_per_s": MXU_MACS_PER_S,

@@ -1,14 +1,12 @@
-"""Component timing for the small-tenant multi-key GCM gap (BASELINE r5
-"known headroom" #2): 1024 keys x 16 KB.  Times, same-process:
+"""Tag-live truth probe for the multi-key GCM engines (the round-5
+measurement correction, BASELINE.md): same-process marginal rates of
 
-  * the full cold seal core and the warm(-tables) core;
-  * the cipher pass alone (ctrw_fused_multikey_auto on the same window);
-  * the GHASH fold side alone given the cipher output + prebuilt tables
-    (s1/s2 contractions + combine + finalize);
-  * the per-key table build alone (_derive_tables).
+  * the MATRIX engine (_seal_batch_core) with the tag output DEAD
+    (what the old committed rows measured — XLA dead-code-eliminates
+    the whole XLA-side GHASH fold) vs LIVE (the truth);
+  * the VALUE-CHAIN engine (_chain_core) tag-live at the same shapes.
 
-Hypothesis under test: the w1/w2 int8 table HBM traffic (~1 MB/key/pass)
-dominates at 16 KB/tenant — not the build, not the cipher.
+Run on TPU:  python tools/mk_small_probe.py
 """
 import sys
 import time
@@ -19,77 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from micro_aes_tpu.modes import seal_batch as sb
-from micro_aes_tpu.ops.pallas_multikey import ctrw_fused_multikey_auto
-
-B, MLEN = 1024, 16384
-NB = MLEN // 16
-NBYTES = B * MLEN
-
-rng = np.random.default_rng(41)
-keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes() for _ in range(B)]
-nonces = [rng.integers(0, 256, 12, dtype=np.uint8).tobytes()
-          for _ in range(B)]
-aads = [b""] * B
-pts = [rng.integers(0, 256, MLEN, dtype=np.uint8).tobytes()
-       for _ in range(B)]
-
-(b, wm, span, ns, front_np, kp_stack, j0w, front, mask, sel,
- len_bits, ptw) = sb._prep(keys, nonces, aads, pts)
-print(f"wm={wm} span={span} waste={(span - NB - 2) / span:.1%}")
-
-tables = sb._derive_tables(
-    sb._enc1_batch.__wrapped__ if False else None) if False else None
-# build tables once via the cached path's internals
-from micro_aes_tpu.modes.bulk import _enc_vmap, stack_round_keys
-
-rks = jnp.asarray(stack_round_keys(keys))
-h = _enc_vmap(rks, jnp.zeros((B, 1, 16), jnp.uint8))[:, 0]
-tables = sb._derive_tables(h)
-jax.tree_util.tree_map(lambda v: v.block_until_ready(), tables)
+import micro_aes_tpu.modes.seal_batch as sb
+from micro_aes_tpu.modes.bulk import _enc1_batch
+from micro_aes_tpu.ops.mac import ghash_fold_batch
 
 
-@jax.jit
-def ghash_side(ptw_, outw_):
-    """The fold side of _seal_body verbatim, tables closed over."""
-    m, w1, w2, m_outer = tables
-    rows = b * wm
-    selr = jnp.repeat(sel.reshape(rows, 32), 4, axis=1)
-    maskr = jnp.repeat(mask.reshape(rows, 32), 4, axis=1)
-    wsel = jnp.where(selr != 0, ptw_, outw_)
-    wsel = jnp.where(maskr != 0, wsel, jnp.uint32(0))
-    bits = sb._stream_bits(wsel)
-    s1 = jax.lax.dot_general(
-        bits.reshape(b, wm, 32 * 128), w1,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32) & 1
-    pad = (-wm) % 32
-    s1 = jnp.pad(s1.astype(jnp.int8), ((0, 0), (pad, 0), (0, 0)))
-    t2 = (wm + pad) // 32
-    s2 = jax.lax.dot_general(
-        s1.reshape(b, t2, 32 * 128), w2,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32) & 1
-    acc = jax.vmap(sb._combine_logdepth)(s2.astype(jnp.int8), m_outer)
-    x = (acc.astype(jnp.int8) ^ len_bits)
-    g = jax.lax.dot_general(
-        x, m, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32) & 1
-    return g
-
-
-@jax.jit
-def s1_only(ptw_):
-    m, w1, w2, m_outer = tables
-    bits = sb._stream_bits(ptw_)
-    s1 = jax.lax.dot_general(
-        bits.reshape(b, wm, 32 * 128), w1,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32) & 1
-    return s1
-
-
-def rate(step, x0, label):
+def rate(step, x0, label, nbytes):
     def make(reps):
         @jax.jit
         def loop(x):
@@ -101,54 +34,107 @@ def rate(step, x0, label):
     res = {}
     for r in (4, 16):
         loop = make(r)
-        jax.tree_util.tree_map(lambda v: v.block_until_ready(), loop(x0))
+        loop(x0).block_until_ready()
         ts = []
         for k in range(3):
             xv = x0 + x0.dtype.type((16 * r + k) % 251 + 1)
             xv.block_until_ready()
             t0 = time.time()
-            jax.tree_util.tree_map(lambda v: v.block_until_ready(), loop(xv))
+            loop(xv).block_until_ready()
             ts.append(time.time() - t0)
         res[r] = sorted(ts)[1]
-    slope = (res[16] - res[4]) / 12
-    print(f"{label:28s} {slope * 1e3:7.3f} ms/call "
-          f"{NBYTES / max(slope, 1e-9) / 1e9:7.2f} GB/s-payload")
-    return slope
+    sl = (res[16] - res[4]) / 12
+    print(f"{label:42s} {sl * 1e3:7.3f} ms/call "
+          f"{nbytes / max(sl, 1e-9) / 1e9:6.2f} GB/s")
+
+
+def probe_matrix(B, MLEN):
+    rng = np.random.default_rng(41)
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+            for _ in range(B)]
+    nonces = [rng.integers(0, 256, 12, dtype=np.uint8).tobytes()
+              for _ in range(B)]
+    (b, wm, span, ns, front_np, kp_stack, j0w, front, mask, sel,
+     len_bits, ptw) = sb._prep(keys, nonces, [b"hdr"] * B,
+                               [bytes(MLEN)] * B)
+
+    def dead(c):
+        o, t = sb._seal_batch_core(kp_stack, j0w, front, mask, sel,
+                                   len_bits, c, b, wm)
+        return o
+
+    def live(c):
+        o, t = sb._seal_batch_core(kp_stack, j0w, front, mask, sel,
+                                   len_bits, c, b, wm)
+        tw = jax.lax.bitcast_convert_type(t.reshape(b, 4, 4), jnp.uint32)
+        return o ^ tw.sum()
+
+    lbl = f"{B}x{MLEN // 1024}KB"
+    rate(dead, ptw, f"matrix engine {lbl}, tags DEAD", B * MLEN)
+    rate(live, ptw, f"matrix engine {lbl}, tags LIVE", B * MLEN)
+
+
+def probe_chain(B, MLEN):
+    NB = MLEN // 16
+    rng = np.random.default_rng(41)
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+            for _ in range(B)]
+    nonces = [rng.integers(0, 256, 12, dtype=np.uint8).tobytes()
+              for _ in range(B)]
+    bp, s, l = sb._chain_shape(B, NB)
+    span = s * l
+    kpw, htab, h, rks, ptabs, htab_h = sb._chain_cached(
+        b"".join(keys + [keys[-1]] * (bp - B)), 16, s, l)
+    j0 = np.zeros((bp, 16), np.uint8)
+    for i, n in enumerate(nonces):
+        j0[i, :12] = np.frombuffer(n, np.uint8)
+    j0[:, 15] = 1
+    ej0 = jnp.asarray(_enc1_batch(rks, j0))
+    lenb = np.zeros((bp, 16), np.uint8)
+    lenb[:B, :8] = np.frombuffer((24).to_bytes(8, "big"), np.uint8)
+    lenb[:B, 8:] = np.frombuffer((MLEN * 8).to_bytes(8, "big"), np.uint8)
+    c0v = np.zeros((bp, s, 16), np.uint8)
+    valid = np.zeros((bp * s, l), bool)
+    inj = np.zeros((bp * s, l), bool)
+    for i in range(B):
+        base = j0[i].copy()
+        base[15] = 2
+        for sg in range(s):
+            c0v[i, sg] = sb._ctr56_add(base, sg * l - (span - NB))
+        valid[i * s:(i + 1) * s] = (
+            np.arange(span).reshape(s, l) >= span - NB)
+        p0 = span - NB
+        inj[i * s + p0 // l, p0 % l] = True
+    srcm = jnp.asarray(sb._pack_lane_bits(valid.T))
+    initm = jnp.asarray(sb._pack_lane_bits(inj.T))
+    aadb = np.zeros((bp, 1, 16), np.uint8)
+    aadb[:, 0, :3] = list(b"hdr")
+    init = ghash_fold_batch(jnp.asarray(h), jnp.zeros((bp, 16), jnp.uint8),
+                            jnp.asarray(aadb), jnp.full(bp, 1, jnp.int32))
+    nblk = jnp.asarray(np.full(bp, NB, np.int32))
+    lane0 = np.arange(bp) * s + (span - NB) // l
+    initv = (jnp.zeros((bp * s, 16), jnp.uint8)
+             .at[jnp.asarray(lane0)].set(init))
+    c0j = jnp.asarray(c0v.reshape(bp * s, 16))
+    lenbj = jnp.asarray(lenb)
+
+    def step(x):
+        out, tags = sb._chain_core(kpw, htab, c0j, x, srcm, initm, initv,
+                                   nblk, init, lenbj, ej0, ptabs, htab_h,
+                                   s, l, False)
+        return out ^ jnp.tile(tags, (1, s)).reshape(bp * s, 1, 16)
+
+    lbl = f"{B}x{MLEN // 1024}KB (s={s} l={l})"
+    rate(step, jnp.zeros((bp * s, l, 16), jnp.uint8),
+         f"value-chain engine {lbl}, tags LIVE", B * MLEN)
 
 
 def main():
     print("backend:", jax.default_backend())
-
-    def full_cold(ptw_):
-        outw, tags = sb._seal_batch_core(kp_stack, j0w, front, mask, sel,
-                                         len_bits, ptw_, b, wm)
-        return outw ^ tags.view(jnp.uint8).astype(jnp.uint32).sum()
-
-    def full_warm(ptw_):
-        outw, tags = sb._seal_batch_core_warm(kp_stack, j0w, front, mask,
-                                              sel, len_bits, ptw_, tables,
-                                              b, wm)
-        return outw ^ tags.view(jnp.uint8).astype(jnp.uint32).sum()
-
-    def cipher_only(ptw_):
-        return ctrw_fused_multikey_auto(kp_stack, ptw_, ptw_, b)
-
-    def ghash_only(ptw_):
-        return ghash_side(ptw_, ptw_)
-
-    def s1_rate(ptw_):
-        return s1_only(ptw_)
-
-    def build_only(x):
-        t = sb._derive_tables(h ^ x.astype(jnp.uint8).reshape(1, 16))
-        return t[0]
-
-    rate(full_cold, ptw, "full seal, cold")
-    rate(full_warm, ptw, "full seal, warm tables")
-    rate(cipher_only, ptw, "cipher pass alone")
-    rate(ghash_only, ptw, "ghash side alone (warm)")
-    rate(s1_rate, ptw, "s1 contraction alone")
-    rate(build_only, jnp.zeros(16, jnp.uint32), "table build alone")
+    for B, MLEN in ((1024, 16384), (64, 262144), (4096, 4096)):
+        probe_chain(B, MLEN)
+    for B, MLEN in ((1024, 16384), (64, 262144)):
+        probe_matrix(B, MLEN)
 
 
 if __name__ == "__main__":
