@@ -580,11 +580,14 @@ def gcm_seal_batch(keys, nonces, aads, pts, tag_len: int = 16,
     dispatch (12-byte nonces, whole-block messages; other shapes fall
     back to the general engine).  Returns [ct || tag] per message.
 
-    reuse_tables=True memoizes the per-key GHASH tables across calls
-    with the SAME key set (serving tenants; purged by
-    purge_key_caches()) — at 16 KB/tenant the in-dispatch table build
-    is ~3x the marginal cost.  Leave False for single-use key batches
-    (conformance corpora): the tables are ~0.5 MB/key of HBM each."""
+    On TPU this routes through the segmented value-chain engine
+    (gcm_seal_batch_chain), whose per-key-set machinery (key planes +
+    2 KB/key halving tables) is memoized unconditionally in a tiny
+    cache (_chain_cached, maxsize 2, purged by purge_key_caches()) —
+    cheap enough that single-use corpora just evict through it.
+    reuse_tables applies to the legacy matrix-engine path only: it
+    memoizes that engine's ~1 MB/key GHASH tables across calls with the
+    SAME key set; leave False there for single-use key batches."""
     keys = [bytes(k) for k in keys]
     if not keys:
         return []

@@ -151,6 +151,28 @@ def main() -> int:
     check("multi-key GCM open round-trip",
           gcm_open_batch(bkeys, bnonces, baads, bres) == bpts)
 
+    # large messages force the value-chain engine's L>1 segmentation
+    # (right-aligned virtual lanes + power-table combine) on real HW
+    spts = [bytes(rng.integers(0, 256, 65536, dtype=np.uint8))
+            for _ in range(4)]
+    sres = gcm_seal_batch(bkeys[:4], bnonces[:4], baads[:4], spts)
+    check("segmented value-chain GCM (64 KB msgs) == per-message GCM",
+          all(sres[i] == gcm_encrypt(bkeys[i], bnonces[i], baads[i],
+                                     spts[i]) for i in range(4)))
+
+    from micro_aes_tpu.modes.bulk import siv_decrypt_batch, siv_encrypt_batch
+    from micro_aes_tpu.modes.siv import siv_encrypt
+
+    vkeys = [bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+             for _ in range(8)]
+    vres = siv_encrypt_batch(vkeys, baads, bpts)
+    check("fused SIV batch seal == per-message SIV",
+          all(vres[i] == siv_encrypt(vkeys[i], baads[i], bpts[i])
+              for i in range(8)))
+    check("fused SIV batch open round-trip",
+          siv_decrypt_batch(vkeys, [iv for iv, _ in vres], baads,
+                            [ct for _, ct in vres]) == bpts)
+
     from micro_aes_tpu.modes.bulk import ccm_encrypt_batch, eax_encrypt_batch
     from micro_aes_tpu.modes.ccm import ccm_encrypt
     from micro_aes_tpu.modes.eax import eax_encrypt
