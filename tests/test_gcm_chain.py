@@ -11,8 +11,6 @@ batch padding for 32-lane alignment."""
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.quick
-
 
 @pytest.fixture(autouse=True)
 def _force_chain(monkeypatch):

@@ -11,8 +11,6 @@ the xorend straddle onto the previous block, and sub-block messages
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.quick
-
 
 @pytest.fixture(autouse=True)
 def _force_fused(monkeypatch):
