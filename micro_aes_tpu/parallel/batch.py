@@ -179,3 +179,45 @@ def gcm_chain_sharded_fn(mesh: Mesh):
         out_specs=(spec, spec),
     )
     return jax.jit(fn)
+
+
+def siv_sharded_fn(mesh: Mesh):
+    """Fused-SIV batch engine (round-5 continuation: S2V + SIV-CTR,
+    ops/pallas_chain.siv_seal_chain_fused) over the mesh's `dp` axis:
+    B independent (K1, K2, message) tuples split across devices, zero
+    collectives.  The local body is the jnp composition of the same
+    semantics (masked CMAC fold with the S2V last-block constants,
+    bit-cleared counter base, CTR keystream), pinned bit-exact against
+    the kernel by tests/test_siv_fused.py.
+
+    Local args per shard: rks1/rks2 u8[Bl,R+1,16], init/tail/lastadd/
+    prevadd u8[Bl,16], blocks u8[Bl,nb,16], nvalid i32[Bl].
+    Returns (ct u8[B,nb,16], iv u8[B,16])."""
+    import jax.numpy as jnp
+
+    from ..core.cipher import encrypt_blocks
+    from ..ops.counter import counter_blocks
+    from ..ops.mac import cbcmac_fold_batch
+
+    def local(rks1, rks2, init, blocks, nvalid, tail, lastadd, prevadd):
+        nb = blocks.shape[1]
+        idx = jnp.arange(nb)[None, :, None]
+        last = idx == (nvalid - 1)[:, None, None]
+        prev = idx == (nvalid - 2)[:, None, None]
+        fin = (blocks & tail[:, None, :]) ^ lastadd[:, None, :]
+        macin = jnp.where(last, fin, blocks) ^ jnp.where(
+            prev, prevadd[:, None, :], jnp.uint8(0))
+        iv = cbcmac_fold_batch(rks1, init, macin, nvalid)
+        bases = iv.at[:, 8].set(iv[:, 8] & 0x7F)
+        bases = bases.at[:, 12].set(bases[:, 12] & 0x7F)
+        ctrs = jax.vmap(lambda b: counter_blocks(b, nb, 0, "be"))(bases)
+        ks = jax.vmap(encrypt_blocks)(rks2, ctrs)
+        return blocks ^ ks, iv
+
+    spec = P("dp")
+    fn = shard_map_nocheck(
+        local, mesh=mesh,
+        in_specs=(spec,) * 8,
+        out_specs=(spec, spec),
+    )
+    return jax.jit(fn)
