@@ -30,6 +30,13 @@ def init_distributed(coordinator: str | None = None,
         )
     except RuntimeError:
         pass  # already initialized
+    except ValueError:
+        # single process with no cluster environment: jax's env
+        # auto-detection finds no coordinator address and raises
+        # ValueError — the documented contract here is "initializes
+        # trivially or no-ops", so a solo process just proceeds
+        # uninitialized (every collective path works on the local mesh)
+        pass
 
 
 def global_mesh(dp: int | None = None, sp: int | None = None) -> Mesh:
