@@ -1251,7 +1251,11 @@ def _mulH_words(xw, htab_ref):
     for i in range(128):
         kq = i // 32
         pos = 8 * ((i // 8) % 4) + 7 - (i % 8)
-        mask = jnp.uint32(0) - ((xw[kq] >> pos) & jnp.uint32(1))
+        # sign-broadcast the selected bit to a full mask in two shifts
+        # (shift-to-MSB + arithmetic shift) instead of shift/and/negate
+        mask = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(
+                xw[kq] << (31 - pos), jnp.int32) >> 31, jnp.uint32)
         term = [mask & htab_ref[(i * 4 + k) * 32:(i * 4 + k + 1) * 32, :]
                 for k in range(4)]
         acc = term if acc is None else [acc[k] ^ term[k] for k in range(4)]
